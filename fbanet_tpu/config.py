@@ -159,6 +159,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--token_mlp", type=str, default="leff")
     p.add_argument("--att_se", action="store_true", default=False)
     p.add_argument("--train_ps", type=int, default=160)
+    p.add_argument("--burst_size", type=int, default=14)
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--warmup", action="store_true", default=False)
     p.add_argument("--warmup_epochs", type=int, default=3)
@@ -171,6 +172,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 def from_cli(args: argparse.Namespace) -> Config:
     """Build the typed config from parsed reference-style CLI flags."""
     model = ModelConfig(
+        num_frames=args.burst_size,
         img_size=args.train_ps,
         embed_dim=args.embed_dim,
         window_size=args.win_size,
@@ -181,6 +183,7 @@ def from_cli(args: argparse.Namespace) -> Config:
     )
     data = DataConfig(
         dataroot=args.dataroot,
+        burst_size=args.burst_size,
         crop_size=args.train_ps,
         num_workers=args.train_workers,
         eval_workers=args.eval_workers,

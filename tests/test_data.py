@@ -1,0 +1,154 @@
+"""Data pipeline tests: grammar, sharding, permutation, crop/augment, loader."""
+
+import numpy as np
+import pytest
+
+from fbanet_tpu.data.loader import BurstLoader
+from fbanet_tpu.data.realbsr import RealBSRDataset, dihedral_transform
+from fbanet_tpu.data.synthetic import (
+    synthetic_batch,
+    synthetic_burst,
+    write_synthetic_realbsr,
+)
+
+
+@pytest.fixture(scope="module")
+def aligned_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("realbsr_aligned")
+    write_synthetic_realbsr(root, num_bursts=6, num_frames=4, lr_size=32,
+                            layout="aligned")
+    return root
+
+
+@pytest.fixture(scope="module")
+def warp_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("realbsr_warp")
+    write_synthetic_realbsr(root, num_bursts=3, num_frames=4, lr_size=32,
+                            layout="warp")
+    return root
+
+
+def test_synthetic_burst_shapes():
+    rng = np.random.default_rng(0)
+    lr, hr, shifts = synthetic_burst(rng, num_frames=5, lr_size=32, scale=4)
+    assert lr.shape == (5, 32, 32, 3)
+    assert hr.shape == (128, 128, 3)
+    assert shifts.shape == (5, 2)
+    assert np.all(shifts[0] == 0)
+
+
+def test_synthetic_batch_dict():
+    b = synthetic_batch(0, batch=2, num_frames=3, lr_size=16)
+    assert b["LR"].shape == (2, 3, 16, 16, 3)
+    assert b["HR"].shape == (2, 64, 64, 3)
+    assert 0.0 <= b["LR"].min() and b["LR"].max() <= 1.0
+
+
+def test_aligned_layout_scan(aligned_root):
+    ds = RealBSRDataset(aligned_root, split="train", burst_size=4, crop_size=0)
+    assert len(ds) == 6
+    sample = ds.load(0)
+    assert sample["LR"].shape == (4, 32, 32, 3)
+    assert sample["HR"].shape == (128, 128, 3)
+    assert sample["LR"].dtype == np.float32
+
+
+def test_warp_layout_scan(warp_root):
+    ds = RealBSRDataset(warp_root, layout="warp", burst_size=4, crop_size=0,
+                        split="train")
+    assert len(ds) == 3
+    s = ds.load(0)
+    assert s["LR"].shape == (4, 32, 32, 3)
+    assert s["HR"].shape == (128, 128, 3)
+
+
+def test_val_split_reads_test_dir(aligned_root):
+    ds = RealBSRDataset(aligned_root, split="val", burst_size=4, crop_size=0)
+    assert len(ds) == 6  # synthetic writer mirrors train into test
+
+
+def test_coupled_crop(aligned_root):
+    ds = RealBSRDataset(aligned_root, split="train", burst_size=4, crop_size=16)
+    s = ds.load(1, np.random.default_rng(0))
+    assert s["LR"].shape == (4, 16, 16, 3)
+    assert s["HR"].shape == (64, 64, 3)  # 4x the LR crop
+
+
+def test_epoch_permutation_deterministic_and_different(aligned_root):
+    ds = RealBSRDataset(aligned_root, split="train", burst_size=4, seed=7)
+    e0a, e0b = ds.epoch_indices(0), ds.epoch_indices(0)
+    np.testing.assert_array_equal(e0a, e0b)
+    assert any(not np.array_equal(ds.epoch_indices(e), e0a) for e in (1, 2, 3))
+
+
+def test_sharding_partitions_disjoint(aligned_root):
+    shards = [
+        RealBSRDataset(aligned_root, split="train", burst_size=4,
+                       shard_id=i, num_shards=2).epoch_indices(0)
+        for i in range(2)
+    ]
+    assert len(shards[0]) == len(shards[1]) == 3
+    assert set(shards[0].tolist()).isdisjoint(shards[1].tolist())
+
+
+def test_dihedral_transforms_are_bijective():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(2, 8, 8, 3)).astype(np.float32)
+    outs = [dihedral_transform(img, i) for i in range(8)]
+    assert outs[0] is not None and np.array_equal(outs[0], img)
+    # all 8 are distinct and preserve the multiset of values
+    for i in range(8):
+        assert outs[i].shape == img.shape
+        np.testing.assert_allclose(np.sort(outs[i], axis=None),
+                                   np.sort(img, axis=None))
+    keys = {outs[i].tobytes() for i in range(8)}
+    assert len(keys) == 8
+
+
+def test_burst_consistent_augmentation(aligned_root):
+    """All frames + HR must receive the same dihedral transform."""
+    ds = RealBSRDataset(aligned_root, split="train", burst_size=4, crop_size=0,
+                        augment=True)
+    rng_state = np.random.default_rng(3)
+    s = ds.load(0, rng_state)
+    plain = RealBSRDataset(aligned_root, split="train", burst_size=4,
+                           crop_size=0, augment=False).load(0)
+    # find which transform was applied to HR; LR frames must match it
+    t_found = [t for t in range(8)
+               if np.array_equal(s["HR"], dihedral_transform(plain["HR"], t))]
+    assert len(t_found) == 1
+    np.testing.assert_array_equal(
+        s["LR"], dihedral_transform(plain["LR"], t_found[0]))
+
+
+def test_loader_batches_and_prefetch(aligned_root):
+    ds = RealBSRDataset(aligned_root, split="train", burst_size=4, crop_size=16)
+    loader = BurstLoader(ds, batch_size=2, num_workers=4, prefetch_depth=2)
+    assert len(loader) == 3
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    for b in batches:
+        assert b["LR"].shape == (2, 4, 16, 16, 3)
+        assert b["HR"].shape == (2, 64, 64, 3)
+        assert len(b["burst_name"]) == 2
+
+
+def test_loader_drop_last(aligned_root):
+    ds = RealBSRDataset(aligned_root, split="val", burst_size=4, crop_size=16)
+    loader = BurstLoader(ds, batch_size=4, num_workers=2, drop_last=False)
+    batches = list(loader.epoch(0))
+    assert sum(b["LR"].shape[0] for b in batches) == 6  # keeps the remainder
+
+    train_ds = RealBSRDataset(aligned_root, split="train", burst_size=4,
+                              crop_size=16)
+    tl = BurstLoader(train_ds, batch_size=4, num_workers=2)
+    assert sum(b["LR"].shape[0] for b in tl.epoch(0)) == 4  # drops remainder
+
+
+def test_loader_deterministic_given_seed(aligned_root):
+    ds = RealBSRDataset(aligned_root, split="train", burst_size=4, crop_size=16)
+    l1 = list(BurstLoader(ds, batch_size=2, num_workers=4, seed=5).epoch(2))
+    l2 = list(BurstLoader(ds, batch_size=2, num_workers=4, seed=5).epoch(2))
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(a["LR"], b["LR"])
+        np.testing.assert_array_equal(a["HR"], b["HR"])

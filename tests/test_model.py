@@ -1,0 +1,189 @@
+"""Shape/numerics tests for layers, blocks and the full FBANet forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fbanet_tpu.config import ModelConfig
+from fbanet_tpu.models import init_model
+from fbanet_tpu.models.blocks import FAFBlock, SwinGroup, UpsamplerBlock
+from fbanet_tpu.models.layers import (
+    SwinLayer,
+    WindowAttention,
+    pixel_shuffle,
+    relative_position_index,
+    shift_attention_mask,
+    window_partition,
+    window_reverse,
+)
+
+TINY = ModelConfig(num_frames=3, img_size=16, embed_dim=8, window_size=4,
+                   heads=(1, 2, 4, 8, 4, 4, 2, 2, 2), dtype="float32")
+
+
+def test_window_partition_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 5)).astype(np.float32))
+    win = window_partition(x, 4)
+    assert win.shape == (2 * 4 * 6, 16, 5)
+    back = window_reverse(win, 4, 16, 24)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_window_partition_content():
+    # first window of first batch is the top-left 4x4 patch
+    x = jnp.arange(2 * 8 * 8 * 1, dtype=jnp.float32).reshape(2, 8, 8, 1)
+    win = window_partition(x, 4)
+    np.testing.assert_array_equal(
+        np.asarray(win[0, :, 0]).reshape(4, 4), np.asarray(x[0, :4, :4, 0])
+    )
+
+
+def test_relative_position_index_bounds_and_symmetry():
+    ws = 8
+    idx = relative_position_index(ws)
+    assert idx.shape == (64, 64)
+    assert idx.min() >= 0 and idx.max() < (2 * ws - 1) ** 2
+    # same relative displacement -> same index
+    assert idx[0, 9] == idx[9, 18]  # (0,0)->(1,1) and (1,1)->(2,2)
+    # the center (self) index is identical along the diagonal
+    assert len(set(np.diag(idx).tolist())) == 1
+
+
+def test_shift_mask_blocks_cross_region_attention():
+    mask = shift_attention_mask(8, 8, 4, 2)
+    assert mask.shape == (4, 16, 16)
+    # window 0 (top-left) has no wrapped content: fully unmasked
+    assert np.all(mask[0] == 0)
+    # bottom-right window mixes 4 regions: must mask something
+    assert np.any(mask[-1] == -100.0)
+    # masks are symmetric
+    np.testing.assert_array_equal(mask[-1], mask[-1].T)
+
+
+def test_pixel_shuffle_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 4, 4, 12)).astype(np.float32)
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    ref = torch.pixel_shuffle(torch.tensor(x.transpose(0, 3, 1, 2)), 2).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=1e-6)
+
+
+def test_window_attention_shapes_and_softmax():
+    m = WindowAttention(dim=16, window_size=4, heads=4)
+    x = jnp.ones((6, 16, 16))
+    params = m.init(jax.random.key(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (6, 16, 16)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_window_attention_mask_isolation():
+    """With a -100 mask between two token groups, tokens in group A must be
+    (nearly) unaffected by large perturbations of group B."""
+    m = WindowAttention(dim=8, window_size=2, heads=2)
+    nw = 1
+    mask = np.zeros((nw, 4, 4), np.float32)
+    mask[:, :2, 2:] = -100.0
+    mask[:, 2:, :2] = -100.0
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 4, 8)).astype(np.float32)
+    params = m.init(jax.random.key(0), jnp.asarray(x))
+    y1 = m.apply(params, jnp.asarray(x), mask=jnp.asarray(mask))
+    x2 = x.copy()
+    x2[:, 2:] += 100.0  # huge perturbation of the masked-out group
+    y2 = m.apply(params, jnp.asarray(x2), mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(y1[:, :2]), np.asarray(y2[:, :2]),
+                               atol=1e-3)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_swin_layer_forward(shift):
+    m = SwinLayer(dim=8, input_resolution=(8, 8), heads=2, window_size=4,
+                  shift_size=shift, token_mlp="leff")
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 8, 8, 8)),
+                    jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_faf_block_reference_frame_not_gated():
+    """Frame 0 passes through ungated; a constant burst fuses to a finite map."""
+    m = FAFBlock(num_feats=8, num_frames=3)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 3, 16, 16, 8)),
+                    jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 16, 16, 8)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_upsampler_block_x4():
+    m = UpsamplerBlock(scale_pow_two=2, features=8)
+    x = jnp.ones((1, 8, 8, 8))
+    params = m.init(jax.random.key(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (1, 32, 32, 8)
+
+
+def test_swin_group_alternates_shift():
+    m = SwinGroup(dim=8, input_resolution=(8, 8), depth=2, heads=2,
+                  window_size=4)
+    x = jnp.ones((1, 8, 8, 8))
+    params = m.init(jax.random.key(0), x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+
+
+def test_fbanet_full_forward_shape():
+    model, params = init_model(TINY, jax.random.key(0))
+    burst = jnp.asarray(
+        np.random.default_rng(5).uniform(size=(2, 3, 16, 16, 3)), jnp.float32)
+    out = jax.jit(lambda p, x: model.apply(p, x))(params, burst)
+    assert out.shape == (2, 64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fbanet_zero_network_returns_bilinear_base():
+    """With all params zeroed (except PReLU alphas), the output must equal the
+    bilinearly upsampled reference frame: validates the residual-base fix
+    (SURVEY.md §7.3/7.4)."""
+    model, params = init_model(TINY, jax.random.key(0))
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    burst = jnp.asarray(
+        np.random.default_rng(6).uniform(size=(1, 3, 16, 16, 3)), jnp.float32)
+    out = model.apply(zeros, burst)
+    base = jax.image.resize(burst[:, 0], (1, 64, 64, 3), method="bilinear")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
+
+
+def test_fbanet_dropout_rngs_train_mode():
+    cfg = TINY.replace(drop_rate=0.1, drop_path_rate=0.1)
+    model, params = init_model(cfg, jax.random.key(0))
+    burst = jnp.ones((2, 3, 16, 16, 3))
+    out = model.apply(params, burst, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+    assert out.shape == (2, 64, 64, 3)
+
+
+def test_fbanet_bf16_compute():
+    cfg = TINY.replace(dtype="bfloat16")
+    model, params = init_model(cfg, jax.random.key(0))
+    burst = jnp.ones((1, 3, 16, 16, 3))
+    out = model.apply(params, burst)
+    assert out.dtype == jnp.float32  # result promoted back to f32
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_param_count_plausible():
+    """embed_dim=64 model should land in the several-million range (the
+    reference reports ~ millions of params for the published model)."""
+    cfg = ModelConfig(num_frames=2, img_size=32, embed_dim=64, window_size=8,
+                      dtype="float32")
+    _, params = init_model(cfg, jax.random.key(0))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert 5_000_000 < n < 50_000_000, n
