@@ -211,6 +211,11 @@ def _ecc_single_level(
     if motion == "translation":
         return _ecc_translation_level(template, image, p0, num_iters)
     h, w = template.shape
+    # On TPU, route the per-iteration warps through the Pallas one-hot-matmul
+    # kernel: XLA's gather with in-program indices costs ~37 ms/frame here
+    # (see ops/warp_pallas.py); the fused kernel is ~10x faster and batches
+    # (image, gx, gy) into one 3-channel warp.
+    use_pallas = (jax.default_backend() == "tpu" and h % 8 == 0)
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     grid = jnp.stack([xs.reshape(-1), ys.reshape(-1), jnp.ones(h * w)])  # [3,N]
@@ -220,19 +225,26 @@ def _ecc_single_level(
     t_norm = jnp.sqrt(jnp.sum(tbar * tbar)) + 1e-12
 
     gx, gy = _image_gradients(image)
-    img_hwc = image[..., None]
-    gx_hwc, gy_hwc = gx[..., None], gy[..., None]
+    stacked = jnp.stack([image, gx, gy], axis=-1)  # [H, W, 3] one warp
 
     coords_fn = partial(_warp_coords, grid_xy1=grid, motion=motion)
     jac_fn = jax.jacfwd(lambda p: coords_fn(p))  # [2, N, P]
+
+    def warp_stacked(cyx: Array) -> Array:
+        if use_pallas:
+            from fbanet_tpu.ops.warp_pallas import warp_burst_coords_pallas
+
+            return warp_burst_coords_pallas(stacked[None], cyx[None])[0]
+        return warp_image(stacked, cyx)
 
     def body(_i, carry):
         p, _rho = carry
         cxy = coords_fn(p)  # [2, N]
         cyx = jnp.stack([cxy[1], cxy[0]], axis=-1).reshape(h, w, 2)
-        iw = warp_image(img_hwc, cyx)[..., 0].reshape(-1)
-        ixw = warp_image(gx_hwc, cyx)[..., 0].reshape(-1)
-        iyw = warp_image(gy_hwc, cyx)[..., 0].reshape(-1)
+        warped = warp_stacked(cyx)
+        iw = warped[..., 0].reshape(-1)
+        ixw = warped[..., 1].reshape(-1)
+        iyw = warped[..., 2].reshape(-1)
 
         ibar = iw - jnp.mean(iw)
         i_norm2 = jnp.sum(ibar * ibar) + 1e-12

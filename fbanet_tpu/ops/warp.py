@@ -48,11 +48,14 @@ def homography_coords(matrix: Array, height: int, width: int) -> Array:
             [matrix, jnp.array([[0.0, 0.0, 1.0]], jnp.float32)], axis=0)
     ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
                           jnp.arange(width, dtype=jnp.float32), indexing="ij")
-    ones = jnp.ones_like(xs)
-    pts = jnp.stack([xs, ys, ones])  # [3, H, W] in (x, y, 1) order
-    src = jnp.einsum("ij,jhw->ihw", matrix, pts)
-    denom = jnp.where(jnp.abs(src[2]) < 1e-12, 1e-12, src[2])
-    return jnp.stack([src[1] / denom, src[0] / denom], axis=-1)  # (y, x)
+    # explicit elementwise arithmetic: an einsum here would hit the MXU at
+    # default (bf16) matmul precision and quantize the coordinates
+    m = matrix
+    sx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
+    sy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
+    sw = m[2, 0] * xs + m[2, 1] * ys + m[2, 2]
+    denom = jnp.where(jnp.abs(sw) < 1e-12, 1e-12, sw)
+    return jnp.stack([sy / denom, sx / denom], axis=-1)  # (y, x)
 
 
 def _cubic_weights(t: Array) -> tuple[Array, Array, Array, Array]:
