@@ -158,6 +158,33 @@ class RealBSRDataset:
 
     # --- sample assembly -----------------------------------------------------
 
+    def _decode_burst(self, lr_paths: list[Path], hr_path: Path
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Decode one burst's LR frames + HR frame as uint8 arrays.
+
+        Uses the native libpng decode pool (native/burstio.cc — the DALI
+        decode-executor replacement) when available: the whole burst decodes
+        in one parallel call. Falls back to cv2/PIL per file. Image
+        dimensions are probed once and cached.
+        """
+        from fbanet_tpu.data import native_io
+
+        if native_io.available():
+            if not hasattr(self, "_probe_dims"):
+                probe_lr = _decode_png(lr_paths[0])
+                probe_hr = _decode_png(hr_path)
+                self._probe_dims = (probe_lr.shape[:2], probe_hr.shape[:2])
+            (lh, lw), (hh, hw) = self._probe_dims
+            try:
+                lr = native_io.decode_files(lr_paths, lh, lw, as_float=False)
+                hr = native_io.decode_files([hr_path], hh, hw,
+                                            as_float=False)[0]
+                return lr, hr
+            except OSError:
+                pass  # odd-sized or corrupt file: per-file fallback below
+        lr = np.stack([_decode_png(p) for p in lr_paths])
+        return lr, _decode_png(hr_path)
+
     def load(self, index: int, rng: np.random.Generator | None = None
              ) -> dict[str, np.ndarray | str]:
         """Decode, frame-subset, crop and augment one burst.
@@ -176,8 +203,8 @@ class RealBSRDataset:
         else:
             frame_ids = frame_ids[: self.burst_size]
 
-        lr = np.stack([_decode_png(rec.lr_paths[i]) for i in frame_ids])
-        hr = _decode_png(rec.hr_path)
+        lr, hr = self._decode_burst([rec.lr_paths[i] for i in frame_ids],
+                                    rec.hr_path)
 
         cs = self.crop_size
         if cs and lr.shape[1] != cs:
