@@ -29,7 +29,8 @@ from fbanet_tpu.utils.checkpoint import load_params
 
 
 def evaluate(cfg: Config, *, save_images: bool = False,
-             result_dir: str = "./results") -> dict:
+             result_dir: str = "./results",
+             lpips_weights: str | None = None) -> dict:
     model, params = init_model(cfg.model, jax.random.key(0))
     weights = cfg.eval.weights or cfg.train.pretrain_weights
     if weights:
@@ -39,6 +40,13 @@ def evaluate(cfg: Config, *, save_images: bool = False,
     # guard: the crop must leave pixels (plus SSIM's 11px window) on small images
     if cfg.data.crop_size and cfg.data.crop_size * cfg.data.scale <= 2 * bi + 11:
         bi = 0
+
+    lpips_fn = None
+    if lpips_weights:
+        from fbanet_tpu.models.lpips import load_lpips
+
+        lpips_model = load_lpips(lpips_weights)
+        lpips_fn = jax.jit(lambda a, b: lpips_model(a, b, boundary_ignore=bi))
 
     @jax.jit
     def step(p, lr, hr):
@@ -57,12 +65,15 @@ def evaluate(cfg: Config, *, save_images: bool = False,
     if save_images:
         out_dir.mkdir(parents=True, exist_ok=True)
 
-    psnrs, ssims = [], []
+    psnrs, ssims, lpipses = [], [], []
     for batch in loader.epoch(0):
         pred, p, s = step(params, jnp.asarray(batch["LR"]),
                           jnp.asarray(batch["HR"]))
         psnrs.extend(np.asarray(p).tolist())
         ssims.extend(np.atleast_1d(np.asarray(s)).tolist())
+        if lpips_fn is not None:
+            lpipses.extend(np.asarray(
+                lpips_fn(pred, jnp.asarray(batch["HR"]))).tolist())
         if save_images:
             from PIL import Image
 
@@ -77,17 +88,24 @@ def evaluate(cfg: Config, *, save_images: bool = False,
 
     results = {"psnr": finite_mean(psnrs), "ssim": finite_mean(ssims),
                "num_images": len(psnrs)}
-    print(f"PSNR: {results['psnr']:.4f}  SSIM: {results['ssim']:.4f}  "
-          f"({results['num_images']} images)")
+    if lpipses:
+        results["lpips"] = finite_mean(lpipses)
+    line = (f"PSNR: {results['psnr']:.4f}  SSIM: {results['ssim']:.4f}")
+    if "lpips" in results:
+        line += f"  LPIPS: {results['lpips']:.4f}"
+    print(line + f"  ({results['num_images']} images)")
     return results
 
 
 def main(argv: list[str] | None = None) -> None:
     parser = add_cli_args(argparse.ArgumentParser(description="FBANet evaluation"))
     parser.add_argument("--result_dir", type=str, default="./results")
+    parser.add_argument("--lpips_weights", type=str, default="",
+                        help=".npz from scripts/export_lpips_weights.py")
     args = parser.parse_args(argv)
     cfg = from_cli(args)
-    evaluate(cfg, save_images=args.save_images, result_dir=args.result_dir)
+    evaluate(cfg, save_images=args.save_images, result_dir=args.result_dir,
+             lpips_weights=args.lpips_weights or None)
 
 
 if __name__ == "__main__":
