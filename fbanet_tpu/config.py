@@ -41,6 +41,9 @@ class ModelConfig:
     dtype: str = "bfloat16"  # compute dtype inside the network
     param_dtype: str = "float32"  # parameter/optimizer dtype
     use_pallas_attention: bool = False  # fused Pallas window-attention kernel
+    remat: bool = True  # rematerialize attention layers in the backward pass
+    # (jax.checkpoint per SwinLayer: trades ~15% step time for the activation
+    # memory that otherwise kills >3-sample/chip training at 160px)
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
@@ -102,6 +105,7 @@ class TrainConfig:
     pretrain_weights: str = ""
     grad_clip_norm: float = 0.0  # 0 = off (reference has none)
     donate_state: bool = True
+    profile_dir: str = ""  # capture a jax.profiler trace of epoch 1 here
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

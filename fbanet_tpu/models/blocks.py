@@ -150,6 +150,7 @@ class SwinGroup(nn.Module):
     token_projection: Literal["linear", "conv"] = "linear"
     token_mlp: Literal["ffn", "leff"] = "leff"
     use_se_layer: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -157,8 +158,10 @@ class SwinGroup(nn.Module):
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         dprs = list(self.drop_path_rates) or [0.0] * self.depth
         assert len(dprs) == self.depth
+        layer_cls = (nn.remat(SwinLayer, static_argnums=(2,))
+                     if self.remat else SwinLayer)
         for i in range(self.depth):
-            x = SwinLayer(
+            x = layer_cls(
                 dim=self.dim,
                 input_resolution=self.input_resolution,
                 heads=self.heads,
@@ -176,5 +179,6 @@ class SwinGroup(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer{i}",
-            )(x, deterministic=deterministic)
+                # positional: static_argnums can't see kwargs under nn.remat
+            )(x, deterministic)
         return x

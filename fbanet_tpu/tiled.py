@@ -79,6 +79,7 @@ def tiled_forward(
     overlap: int = 40,
     scale: int = 4,
     tile_batch: int = 0,
+    mesh=None,
 ) -> np.ndarray:
     """Run `apply_fn` ([B,F,t,t,C] -> [B,t*scale,t*scale,C]) over all tiles of
     one burst `[F, H, W, C]` and stitch the x`scale` result.
@@ -86,20 +87,39 @@ def tiled_forward(
     `tile_batch` > 0 caps the per-call batch (device memory guard); 0 runs
     all tiles in one batch. Tile counts that don't fill the last batch are
     padded (and the padding discarded) so the jitted shape stays constant.
+
+    With `mesh`, the tile batch is sharded across the device mesh — tiles
+    are the spatial unit of data parallelism (SURVEY.md §2.3): every chip
+    super-resolves a slice of the same image concurrently. The batch is
+    padded to a multiple of the mesh size.
     """
     f, h, w, c = burst.shape
     tiles = divide_burst(burst, psize, overlap)  # [Nt, F, T, T, C]
     nt = tiles.shape[0]
     bsz = tile_batch if tile_batch > 0 else nt
 
+    n_dev = 1
+    if mesh is not None:
+        from fbanet_tpu.parallel.mesh import batch_sharding
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        sharding = batch_sharding(mesh)
+
     outs = []
     for start in range(0, nt, bsz):
         chunk = tiles[start:start + bsz]
-        pad = bsz - chunk.shape[0]
-        if pad and tile_batch > 0:
+        # pad to the jitted shape (bsz when chunked) rounded up to a multiple
+        # of the mesh size so the batch axis shards evenly
+        target = bsz if tile_batch > 0 else chunk.shape[0]
+        target = -(-target // n_dev) * n_dev
+        pad = target - chunk.shape[0]
+        if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        out = np.asarray(apply_fn(jnp.asarray(chunk)))
-        if pad and tile_batch > 0:
+        arr = jnp.asarray(chunk)
+        if mesh is not None:
+            arr = jax.device_put(arr, sharding)
+        out = np.asarray(apply_fn(arr))
+        if pad:
             out = out[:-pad]
         outs.append(out)
     hr_tiles = np.concatenate(outs)  # [Nt, T*scale, T*scale, C]
@@ -133,6 +153,10 @@ def main(argv: list[str] | None = None) -> None:
     def apply_fn(batch):
         return jnp.clip(model.apply(params, batch, deterministic=True), 0.0, 1.0)
 
+    from fbanet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+
     ds = RealBSRDataset(cfg.data.dataroot, split="test", layout=cfg.data.layout,
                         burst_size=cfg.data.burst_size, crop_size=0,
                         augment=False)
@@ -143,7 +167,8 @@ def main(argv: list[str] | None = None) -> None:
     for i in range(len(ds)):
         sample = ds.load(i)
         sr = tiled_forward(apply_fn, sample["LR"], psize=args.psize,
-                           overlap=args.overlap, scale=cfg.data.scale)
+                           overlap=args.overlap, scale=cfg.data.scale,
+                           mesh=mesh)
         arr = np.clip(sr * 255.0 + 0.5, 0, 255).astype(np.uint8)
         Image.fromarray(arr).save(out_dir / f"{sample['burst_name']}.png")
         print(f"[{i + 1}/{len(ds)}] {sample['burst_name']} -> {arr.shape}")

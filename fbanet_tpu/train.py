@@ -28,6 +28,7 @@ epoch e in [1..nepoch] trains at `lr_for_epoch(e)`.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import datetime
 import math
 import time
@@ -198,11 +199,16 @@ def train(cfg: Config) -> dict:
 
     # --- data ---
     sharding = batch_sharding(mesh)
+    # multi-host: each process reads its own dataset shard (the reference's
+    # shard_id/num_shards semantics keyed by process index, SURVEY.md §2.3)
+    shard_id, num_shards = cfg.data.shard_id, cfg.data.num_shards
+    if jax.process_count() > 1 and num_shards == 1:
+        shard_id, num_shards = jax.process_index(), jax.process_count()
     train_ds = RealBSRDataset(
         cfg.data.dataroot, split="train", layout=cfg.data.layout,
         burst_size=cfg.data.burst_size, crop_size=cfg.data.crop_size,
         scale=cfg.data.scale, seed=cfg.data.seed,
-        shard_id=cfg.data.shard_id, num_shards=cfg.data.num_shards)
+        shard_id=shard_id, num_shards=num_shards)
     val_ds = RealBSRDataset(
         cfg.data.dataroot, split="val", layout=cfg.data.layout,
         burst_size=cfg.data.burst_size, crop_size=cfg.data.crop_size,
@@ -224,18 +230,28 @@ def train(cfg: Config) -> dict:
         bi = 0
     eval_step = make_eval_step(model, boundary_ignore=bi)
 
+    from fbanet_tpu.utils.profiling import StepTimer, trace as profiler_trace
+
     best_epoch = 0
     history = []
     for epoch in range(start_epoch, tcfg.nepoch + 1):
         t0 = time.time()
         lr = lr_for_epoch(epoch, tcfg, start_epoch=start_epoch, resumed=resumed)
         epoch_loss, steps = 0.0, 0
-        for batch in train_loader.epoch(epoch):
-            rng, step_rng = jax.random.split(rng)
-            params, opt_state, loss = train_step(
-                params, opt_state, batch["LR"], batch["HR"], step_rng, lr)
-            epoch_loss += float(loss)
-            steps += 1
+        timer = StepTimer(skip_first=1 if epoch == start_epoch else 0)
+        profile_ctx = (profiler_trace(tcfg.profile_dir)
+                       if tcfg.profile_dir and epoch == start_epoch
+                       else contextlib.nullcontext())
+        with profile_ctx:
+            for batch in train_loader.epoch(epoch):
+                rng, step_rng = jax.random.split(rng)
+                with timer.step():
+                    params, opt_state, loss = train_step(
+                        params, opt_state, batch["LR"], batch["HR"],
+                        step_rng, lr)
+                    loss = float(loss)
+                epoch_loss += loss
+                steps += 1
 
         # per-epoch eval (reference cadence: eval_now == len(train_loader))
         psnr_val = evaluate_psnr(eval_step, params, val_loader, epoch)
@@ -246,7 +262,8 @@ def train(cfg: Config) -> dict:
         log(f"[Ep {epoch} PSNR: {psnr_val:.4f}] ---- "
             f"[best_Ep {best_epoch} Best_PSNR {best_psnr:.4f}]")
         log(f"Epoch: {epoch}\tTime: {time.time() - t0:.4f}\t"
-            f"Loss: {epoch_loss:.4f}\tLearningRate {lr:.6f}")
+            f"Loss: {epoch_loss:.4f}\tLearningRate {lr:.6f}\t"
+            + timer.report())
         triad.on_epoch_end(epoch, params=params, opt_state=opt_state,
                            best_psnr=best_psnr)
         history.append({"epoch": epoch, "loss": epoch_loss, "psnr": psnr_val,
