@@ -35,7 +35,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_pipeline(batch: int, frames: int, size: int, embed_dim: int):
+def build_pipeline(frames: int, size: int, embed_dim: int):
     from fbanet_tpu.config import ModelConfig
     from fbanet_tpu.models import init_model
     from fbanet_tpu.ops.registration import align_burst
@@ -44,22 +44,20 @@ def build_pipeline(batch: int, frames: int, size: int, embed_dim: int):
                       window_size=8, dtype="bfloat16")
     model, params = init_model(cfg, jax.random.key(0))
 
-    @jax.jit
-    def pipeline(params, bursts):
+    def pipeline_one(params, bursts):
         aligned, _mats, _rhos = align_burst(
-            bursts, motion="translation", levels=3, iters_per_level=15)
+            bursts, motion="translation", levels=3, iters_per_level=10)
         out = model.apply(params, aligned, deterministic=True)
         return jnp.clip(out, 0.0, 1.0)
 
-    return pipeline, params
+    return pipeline_one, params
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     frames = int(os.environ.get("BENCH_FRAMES", "14"))
     size = int(os.environ.get("BENCH_SIZE", "160"))
     embed = int(os.environ.get("BENCH_EMBED", "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -68,24 +66,40 @@ def main() -> None:
     bursts = jnp.asarray(
         rng.uniform(size=(batch, frames, size, size, 3)).astype(np.float32))
 
-    pipeline, params = build_pipeline(batch, frames, size, embed)
+    pipeline_one, params = build_pipeline(frames, size, embed)
 
-    t0 = time.time()
-    out = pipeline(params, bursts)
-    out.block_until_ready()
-    log(f"compile + first step: {time.time() - t0:.1f}s; out {out.shape}")
-
-    # steady state
-    times = []
-    for _ in range(iters):
+    # Timing methodology: iterations are chained *inside one jitted program*
+    # (each step's input depends on the previous step's output) and the
+    # per-iteration time is the slope between two loop lengths. Reasons:
+    # (a) per-dispatch wall clock includes host->device round-trip latency
+    # that a production input pipeline overlaps away, and (b) on tunneled
+    # TPU backends `block_until_ready` can return before device completion,
+    # making unchained measurements meaningless (observed: "0.4 ms" for a
+    # 400-GFLOP forward). The slope is the honest steady-state number.
+    def timed_loop(n: int) -> float:
+        @jax.jit
+        def loop(params, bursts):
+            def body(_i, acc):
+                out = pipeline_one(params, bursts + acc * 1e-20)
+                return jnp.mean(out.astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         t0 = time.time()
-        out = pipeline(params, bursts)
-        out.block_until_ready()
-        times.append(time.time() - t0)
-    best = min(times)
-    bursts_per_sec = batch / best
-    log(f"steady-state: {best * 1e3:.1f} ms/iter -> "
-        f"{bursts_per_sec:.3f} bursts/s (times: {[f'{t:.3f}' for t in times]})")
+        v = float(loop(params, bursts))  # includes compile on first call
+        compile_and_run = time.time() - t0
+        t0 = time.time()
+        v = float(loop(params, bursts))
+        assert v == v, "NaN through the pipeline"
+        return time.time() - t0, compile_and_run
+
+    n_lo, n_hi = 3, 9
+    t_lo, c_lo = timed_loop(n_lo)
+    t_hi, c_hi = timed_loop(n_hi)
+    log(f"compile(+run): lo {c_lo:.1f}s hi {c_hi:.1f}s; "
+        f"loop times: {t_lo:.3f}s/{n_lo} it, {t_hi:.3f}s/{n_hi} it")
+    per_iter = (t_hi - t_lo) / (n_hi - n_lo)
+    bursts_per_sec = batch / per_iter
+    log(f"steady-state: {per_iter * 1e3:.1f} ms/iter -> "
+        f"{bursts_per_sec:.3f} bursts/s/chip")
 
     baseline_bursts_per_sec_per_gpu = 1.0  # estimated, see module docstring
     print(json.dumps({

@@ -354,7 +354,29 @@ def align_burst(
 
     mats = jnp.concatenate([jnp.eye(3, dtype=jnp.float32)[None], mats])
     rhos = jnp.concatenate([jnp.ones((1,), jnp.float32), rhos])
-    aligned = warp_burst_homography(burst, mats, interp=interp)
+
+    if motion == "translation" and interp == "bilinear":
+        # gather-free final warp: matrices are in-program values, which would
+        # push the XLA gather onto its slow computed-index path
+        def warp_one(frame: Array, mat: Array) -> Array:
+            p = jnp.array([mat[0, 2], mat[1, 2]])
+            chans = [
+                _warp_translation_ds(
+                    jnp.pad(frame[..., ch], _TRANS_PAD, mode="edge"), p,
+                    frame.shape[0], frame.shape[1])
+                for ch in range(frame.shape[-1])
+            ]
+            return jnp.stack(chans, axis=-1)
+
+        aligned = jax.vmap(warp_one)(burst.astype(jnp.float32), mats)
+        aligned = aligned.astype(burst.dtype)
+    elif jax.default_backend() == "tpu" and burst.shape[1] % 8 == 0 and \
+            interp == "bilinear":
+        from fbanet_tpu.ops.warp_pallas import warp_burst_bilinear_pallas
+
+        aligned = warp_burst_bilinear_pallas(burst, mats)
+    else:
+        aligned = warp_burst_homography(burst, mats, interp=interp)
     # frame 0 must be bit-identical (no resampling of the reference frame)
     aligned = aligned.at[0].set(burst[0])
     assert aligned.shape[0] == f
