@@ -143,8 +143,12 @@ class FBANet(nn.Module):
         # tail: x4 upsampler + conv to RGB (reference: :90-93,313-315; §7.4 fix)
         t = UpsamplerBlock(scale_pow_two=2, features=d, dtype=dtype,
                            param_dtype=pdtype, name="tail_upsampler")(y_2)
+        # zero-init the residual branch's last conv: the model starts exactly
+        # at the bilinear-base PSNR instead of drowning it in init noise
+        # (an ~19-layer attention stack's variance otherwise reaches std~1.5
+        # at the output; standard practice for residual SR heads)
         out = nn.Conv(cin, (3, 3), padding=1, dtype=dtype, param_dtype=pdtype,
-                      name="tail_conv")(t)
+                      kernel_init=nn.initializers.zeros, name="tail_conv")(t)
 
         # + bilinearly upsampled reference frame (reference: :317-321; §7.3 fix:
         # resize only the spatial dims)
