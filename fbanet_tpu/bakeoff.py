@@ -40,8 +40,9 @@ def _metrics(a: np.ndarray, b: np.ndarray, crop: int = 8) -> tuple[float, float]
 
 def compare_registrations(reference: np.ndarray, frame: np.ndarray,
                           *, methods: tuple[str, ...] = (
-                              "flow", "translation", "euclidean", "affine",
-                              "homography")) -> dict[str, dict]:
+                              "flow", "translation", "euclidean",
+                              "similarity", "affine", "homography")
+                          ) -> dict[str, dict]:
     """Register `frame` onto `reference` with every method; return metrics.
 
     Both inputs are [H, W, C] float32 in [0, 1]. Mirrors the reference's

@@ -64,6 +64,10 @@ class DataConfig:
     prefetch_depth: int = 2
     shard_id: int = 0
     num_shards: int = 1
+    # online on-device registration applied inside the train/eval step
+    # (the reference's DALI decode->flow->remap graph; "none" expects the
+    # pre-aligned LR_aligned tree like the legacy recipe)
+    online_align: Literal["none", "ecc", "flow"] = "none"
     # filename grammar variant: "aligned" = {b}_MFSR_Sony_{p:04d}_x1_{f:02d}.png
     # under LR_aligned/ + {b}_MFSR_Sony_{p:04d}_x4.png under HR/
     # (reference: fba_net/ManualDataset.py.bak:83,97); "warp" = the DALI tree
@@ -164,6 +168,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--att_se", action="store_true", default=False)
     p.add_argument("--train_ps", type=int, default=160)
     p.add_argument("--burst_size", type=int, default=14)
+    p.add_argument("--online_align", type=str, default="none",
+                   choices=["none", "ecc", "flow"])
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--warmup", action="store_true", default=False)
     p.add_argument("--warmup_epochs", type=int, default=3)
@@ -187,6 +193,7 @@ def from_cli(args: argparse.Namespace) -> Config:
     )
     data = DataConfig(
         dataroot=args.dataroot,
+        online_align=args.online_align,
         burst_size=args.burst_size,
         crop_size=args.train_ps,
         num_workers=args.train_workers,

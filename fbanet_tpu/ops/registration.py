@@ -33,9 +33,10 @@ from jax import lax
 from fbanet_tpu.ops.warp import warp_burst_homography, warp_image
 
 Array = jnp.ndarray
-Motion = Literal["translation", "euclidean", "affine", "homography"]
+Motion = Literal["translation", "euclidean", "similarity", "affine", "homography"]
 
-_NUM_PARAMS = {"translation": 2, "euclidean": 3, "affine": 6, "homography": 8}
+_NUM_PARAMS = {"translation": 2, "euclidean": 3, "similarity": 4,
+               "affine": 6, "homography": 8}
 
 # Rec.601 luma weights, matching cv2.cvtColor(..., COLOR_RGB2GRAY) used by the
 # reference before ECC (homography_alignment.py:97-117).
@@ -61,6 +62,14 @@ def params_to_matrix(p: Array, motion: Motion) -> Array:
             jnp.stack([s, c, p[2]]),
             jnp.array([0.0, 0.0, 1.0]),
         ])
+    if motion == "similarity":
+        # p = [a, b, tx, ty]: uniform scale+rotation (a=s*cos, b=s*sin)
+        a, b_ = p[0], p[1]
+        return jnp.stack([
+            jnp.stack([a, -b_, p[2]]),
+            jnp.stack([b_, a, p[3]]),
+            jnp.array([0.0, 0.0, 1.0]),
+        ])
     if motion == "affine":
         return jnp.concatenate(
             [p.reshape(2, 3), jnp.array([[0.0, 0.0, 1.0]])], axis=0)
@@ -76,6 +85,8 @@ def matrix_to_params(m: Array, motion: Motion) -> Array:
         return jnp.array([m[0, 2], m[1, 2]])
     if motion == "euclidean":
         return jnp.array([jnp.arctan2(m[1, 0], m[0, 0]), m[0, 2], m[1, 2]])
+    if motion == "similarity":
+        return jnp.array([m[0, 0], m[1, 0], m[0, 2], m[1, 2]])
     if motion == "affine":
         return m[:2].reshape(-1)
     if motion == "homography":
@@ -230,10 +241,12 @@ def _ecc_single_level(
     coords_fn = partial(_warp_coords, grid_xy1=grid, motion=motion)
     jac_fn = jax.jacfwd(lambda p: coords_fn(p))  # [2, N, P]
 
+    if use_pallas:
+        # imported outside any traced scope (tracer-leak hygiene)
+        from fbanet_tpu.ops.warp_pallas import warp_burst_coords_pallas
+
     def warp_stacked(cyx: Array) -> Array:
         if use_pallas:
-            from fbanet_tpu.ops.warp_pallas import warp_burst_coords_pallas
-
             return warp_burst_coords_pallas(stacked[None], cyx[None])[0]
         return warp_image(stacked, cyx)
 
@@ -323,6 +336,36 @@ def ecc_align(
     return m, rho
 
 
+def online_register(batch: Array, method: str = "ecc") -> Array:
+    """Register a batched burst `[B, F, H, W, C]` to frame 0 inside a
+    training/eval step — the reference's *online* DALI registration graph
+    (decode -> optical flow -> remap, fba_net/pipeline/real_bsr_iterator.py)
+    as a differentiation-free preprocessing stage.
+
+    method: "ecc" (translation ECC, the robust default) or "flow" (dense
+    pyramidal LK + backward warp, the DALI-equivalent path). Gradients are
+    stopped: registration is data preparation, not a learned component.
+    """
+    from fbanet_tpu.ops.flow import burst_optical_flow  # noqa: F401 (hoisted
+    # out of the traced branch below: importing during tracing leaks any
+    # module-level jnp constants as tracers)
+    from fbanet_tpu.ops.warp import warp_flow  # noqa: F401
+
+    batch = jax.lax.stop_gradient(batch)
+    if method == "ecc":
+        aligned, _m, _r = align_burst(batch, motion="translation",
+                                      levels=3, iters_per_level=10)
+        return aligned
+    if method == "flow":
+        def one(burst: Array) -> Array:
+            flows = burst_optical_flow(burst, levels=3, iters_per_level=5)
+            warped = jax.vmap(warp_flow)(burst[1:], flows)
+            return jnp.concatenate([burst[:1], warped], axis=0)
+
+        return jax.vmap(one)(batch)
+    raise ValueError(f"unknown online registration method {method}")
+
+
 def align_burst(
     burst: Array,
     *,
@@ -372,7 +415,7 @@ def align_burst(
         aligned = aligned.astype(burst.dtype)
     elif jax.default_backend() == "tpu" and burst.shape[1] % 8 == 0 and \
             interp == "bilinear":
-        from fbanet_tpu.ops.warp_pallas import warp_burst_bilinear_pallas
+        from fbanet_tpu.ops.warp_pallas import warp_burst_bilinear_pallas  # no jnp module constants
 
         aligned = warp_burst_bilinear_pallas(burst, mats)
     else:

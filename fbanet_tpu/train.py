@@ -102,10 +102,18 @@ def _set_lr(opt_state, lr):
     return tuple(visit(s) if hasattr(s, "hyperparams") else s for s in opt_state)
 
 
-def make_train_step(model, optimizer, cfg: TrainConfig):
+def make_train_step(model, optimizer, cfg: TrainConfig,
+                    online_align: str = "none"):
     """Jitted (params, opt_state, batch, rng, lr) -> (params, opt_state, loss)."""
 
+    if online_align != "none":
+        # import OUTSIDE the traced function: importing a module during
+        # tracing turns its module-level jnp constants into leaked tracers
+        from fbanet_tpu.ops.registration import online_register
+
     def loss_fn(params, lr_burst, hr, rng):
+        if online_align != "none":
+            lr_burst = online_register(lr_burst, online_align)
         pred = model.apply(params, lr_burst, deterministic=False,
                            rngs={"dropout": rng})
         return fbanet_training_loss(pred, hr,
@@ -123,13 +131,19 @@ def make_train_step(model, optimizer, cfg: TrainConfig):
     return step
 
 
-def make_eval_step(model, boundary_ignore: int = 40):
+def make_eval_step(model, boundary_ignore: int = 40,
+                   online_align: str = "none"):
     """Jitted (params, lr_burst, hr) -> per-image boundary-cropped PSNR [B]
     (the reference evaluates with boundary_ignore=40,
     fba_net/utils/image_utils.py:152)."""
 
+    if online_align != "none":
+        from fbanet_tpu.ops.registration import online_register
+
     @jax.jit
     def step(params, lr_burst, hr):
+        if online_align != "none":
+            lr_burst = online_register(lr_burst, online_align)
         pred = model.apply(params, lr_burst, deterministic=True)
         pred = jnp.clip(pred, 0.0, 1.0)
         return psnr_metric(pred, hr, boundary_ignore=boundary_ignore)
@@ -223,12 +237,14 @@ def train(cfg: Config) -> dict:
     log(f"Sizeof training set: {len(train_ds)}, sizeof validation set: "
         f"{len(val_ds)}; {n_dev} device(s)")
 
-    train_step = make_train_step(model, optimizer, tcfg)
+    train_step = make_train_step(model, optimizer, tcfg,
+                                 online_align=cfg.data.online_align)
     # guard: boundary crop must leave pixels on the eval images
     bi = cfg.eval.boundary_ignore
     if cfg.data.crop_size and cfg.data.crop_size * cfg.data.scale <= 2 * bi:
         bi = 0
-    eval_step = make_eval_step(model, boundary_ignore=bi)
+    eval_step = make_eval_step(model, boundary_ignore=bi,
+                               online_align=cfg.data.online_align)
 
     from fbanet_tpu.utils.profiling import StepTimer, trace as profiler_trace
 

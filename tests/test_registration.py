@@ -156,3 +156,50 @@ def test_ecc_identity_on_identical_images():
                        motion="translation", levels=2, iters_per_level=10)
     np.testing.assert_allclose(np.asarray(m), np.eye(3), atol=1e-3)
     assert float(rho) > 0.9999
+
+
+def test_online_register_ecc_improves_alignment():
+    """The in-step registration stage (DALI-graph parity) must reduce
+    frame-to-reference error inside a jitted function."""
+    base = _smooth_test_image(h=64, w=64, seed=9)
+    t = np.array([[1, 0, 2.0], [0, 1, -1.5], [0, 0, 1]], np.float32)
+    burst = np.stack([base, _shifted(base, t)])[..., None]
+    batch = jnp.asarray(burst)[None]  # [1, F, H, W, 1]
+
+    from fbanet_tpu.ops.registration import online_register
+
+    aligned = jax.jit(lambda b: online_register(b, "ecc"))(batch)
+    ref = np.asarray(batch[0, 0])[8:-8, 8:-8]
+    before = np.mean((np.asarray(batch[0, 1:])[:, 8:-8, 8:-8] - ref) ** 2)
+    after = np.mean((np.asarray(aligned[0, 1:])[:, 8:-8, 8:-8] - ref) ** 2)
+    assert after < before * 0.1
+
+
+def test_online_register_stops_gradients():
+    from fbanet_tpu.ops.registration import online_register
+
+    base = _smooth_test_image(h=32, w=32, seed=10)
+    batch = jnp.asarray(np.stack([base, base]))[None, ..., None]
+
+    def loss(b):
+        return jnp.sum(online_register(b, "ecc") ** 2)
+
+    g = jax.grad(loss)(batch)
+    assert float(jnp.abs(g).max()) == 0.0  # registration is preprocessing
+
+
+def test_ecc_recovers_similarity():
+    """Similarity = rotation + uniform scale + translation (the reference's
+    cv2.reg MapperGradSimilar, fba_net/registration/pyramid.py:52-64)."""
+    img = _smooth_test_image(seed=11)
+    th, sc = 0.015, 1.01
+    c, s = sc * np.cos(th), sc * np.sin(th)
+    true = np.array([[c, -s, 1.0], [s, c, -0.7], [0, 0, 1]], np.float32)
+    moved = _shifted(img, true)
+    m, rho = ecc_align(jnp.asarray(img), jnp.asarray(moved),
+                       motion="similarity", levels=3, iters_per_level=40)
+    assert float(rho) > 0.99
+    np.testing.assert_allclose(np.asarray(m), np.linalg.inv(true), atol=0.08)
+    # structure preserved: m[0,0]==m[1,1], m[0,1]==-m[1,0]
+    m = np.asarray(m)
+    assert abs(m[0, 0] - m[1, 1]) < 1e-5 and abs(m[0, 1] + m[1, 0]) < 1e-5
