@@ -8,7 +8,8 @@ registration on MPI-Sintel frame pairs and printed before/after PSNR/SSIM
 implementation:
 
 - dense pyramidal LK optical flow + backward warp (ops/flow.py),
-- ECC with translation / euclidean / affine / homography motion models
+- ECC with translation / euclidean / similarity / affine / homography
+  motion models
   (ops/registration.py).
 
 Usage:

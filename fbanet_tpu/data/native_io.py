@@ -99,8 +99,7 @@ def decode_files(paths: list[str | Path], height: int, width: int,
             pool, n, c_paths, out.ctypes.data_as(ctypes.c_void_p),
             height, width, channels)
     if rc != 0:
-        idx, code = divmod(rc, 100) if rc >= 100 else (rc // 100, rc % 100)
-        raise OSError(
-            f"burstio decode failed (file #{rc // 100}, code {rc % 100}): "
-            f"{paths[min(rc // 100, n - 1)]}")
+        idx, code = divmod(rc, 100)
+        raise OSError(f"burstio decode failed (file #{idx}, code {code}): "
+                      f"{paths[min(idx, n - 1)]}")
     return out
