@@ -40,7 +40,6 @@ class ModelConfig:
     # TPU-native knobs (no reference equivalent):
     dtype: str = "bfloat16"  # compute dtype inside the network
     param_dtype: str = "float32"  # parameter/optimizer dtype
-    use_pallas_attention: bool = False  # fused Pallas window-attention kernel
     remat: bool = True  # rematerialize attention layers in the backward pass
     # (jax.checkpoint per SwinLayer: trades ~15% step time for the activation
     # memory that otherwise kills >3-sample/chip training at 160px)

@@ -187,3 +187,16 @@ def test_param_count_plausible():
     _, params = init_model(cfg, jax.random.key(0))
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     assert 5_000_000 < n < 50_000_000, n
+
+
+def test_fbanet_window_size_10():
+    """win_size=10 is the reference options.py default; at the 4x-downsampled
+    bottleneck (res 5 < 10) the small-input safeguard must clamp the window."""
+    cfg = ModelConfig(num_frames=2, img_size=20, embed_dim=8, window_size=10,
+                      heads=(1, 2, 4, 8, 4, 4, 2, 2, 2), dtype="float32",
+                      drop_path_rate=0.0)
+    model, params = init_model(cfg, jax.random.key(0))
+    burst = jnp.ones((1, 2, 20, 20, 3))
+    out = model.apply(params, burst)
+    assert out.shape == (1, 80, 80, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
