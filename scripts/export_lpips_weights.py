@@ -19,14 +19,12 @@ import sys
 import numpy as np
 
 
-def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "lpips_alex.npz"
-    import lpips  # type: ignore
-    import torch  # noqa: F401
+def convert_state_dict(sd: dict) -> dict[str, np.ndarray]:
+    """lpips.LPIPS(net='alex') state_dict (numpy values) -> our npz layout.
 
-    model = lpips.LPIPS(net="alex")
-    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
-
+    Pure tensor-layout conversion, unit-tested in tests/test_lpips_torch.py
+    against a torch re-evaluation of the same weights.
+    """
     out: dict[str, np.ndarray] = {
         "shift": sd["scaling_layer.shift"].reshape(3).astype(np.float32),
         "scale": sd["scaling_layer.scale"].reshape(3).astype(np.float32),
@@ -44,7 +42,17 @@ def main() -> None:
     for i in range(5):
         lin = sd[f"lin{i}.model.1.weight"]  # [1, C, 1, 1]
         out[f"lin{i}_w"] = lin.reshape(-1).astype(np.float32)
+    return out
 
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "lpips_alex.npz"
+    import lpips  # type: ignore
+    import torch  # noqa: F401
+
+    model = lpips.LPIPS(net="alex")
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    out = convert_state_dict(sd)
     np.savez(out_path, **out)
     print(f"wrote {out_path}: " + ", ".join(sorted(out)))
 
