@@ -55,8 +55,15 @@ class BurstLoader:
         n = self.dataset.shard_size
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def epoch(self, epoch: int) -> Iterator[dict]:
-        """Yield batches {'LR': [B,F,h,w,3], 'HR': [B,H,W,3], 'burst_name': list}."""
+    def epoch(self, epoch: int, start_step: int = 0) -> Iterator[dict]:
+        """Yield batches {'LR': [B,F,h,w,3], 'HR': [B,H,W,3], 'burst_name': list}.
+
+        `start_step` skips the first N batches *without decoding them* while
+        keeping every sample's absolute epoch position — so a mid-epoch
+        resume sees the identical sample sequence and augmentation rng as the
+        uninterrupted run (the DALI `enable_checkpointing` capability,
+        reference: fba_net/pipeline/real_bsr_iterator.py:34-35).
+        """
         indices = self.dataset.epoch_indices(epoch)
         if self.drop_last:
             indices = indices[: (len(indices) // self.batch_size) * self.batch_size]
@@ -76,7 +83,8 @@ class BurstLoader:
         def producer() -> None:
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for start in range(0, len(indices), self.batch_size):
+                    for start in range(start_step * self.batch_size,
+                                       len(indices), self.batch_size):
                         if stop.is_set():
                             return
                         chunk = [(start + o, i) for o, i in
@@ -84,9 +92,10 @@ class BurstLoader:
                         samples = list(pool.map(load_one, chunk))
                         batch = {
                             "LR": np.stack([s["LR"] for s in samples]),
-                            "HR": np.stack([s["HR"] for s in samples]),
                             "burst_name": [s["burst_name"] for s in samples],
                         }
+                        if "HR" in samples[0]:  # absent for GT-free test data
+                            batch["HR"] = np.stack([s["HR"] for s in samples])
                         out_q.put(batch)
             except Exception as exc:  # propagate into the consumer
                 out_q.put(exc)
@@ -104,9 +113,9 @@ class BurstLoader:
                     raise item
                 if self.sharding is not None:
                     item = {
-                        "LR": jax.device_put(item["LR"], self.sharding),
-                        "HR": jax.device_put(item["HR"], self.sharding),
-                        "burst_name": item["burst_name"],
+                        k: (jax.device_put(v, self.sharding)
+                            if k in ("LR", "HR") else v)
+                        for k, v in item.items()
                     }
                 yield item
         finally:

@@ -68,7 +68,9 @@ def dihedral_transform(img: np.ndarray, idx: int) -> np.ndarray:
 class BurstRecord:
     name: str
     lr_paths: list[Path]
-    hr_path: Path
+    # None for GT-free test bursts (the reference's ManualDatasets_test reads
+    # LR only, fba_net/ManualDataset.py.bak:295-408)
+    hr_path: Path | None
 
 
 @dataclass
@@ -115,6 +117,14 @@ class RealBSRDataset:
                     raise FileNotFoundError(f"no LR frames in {burst_dir}")
                 hr_path = (hr_root / burst_dir.name
                            / f"{scene}_MFSR_Sony_{patch:04d}_x4.png")
+                if not hr_path.exists():
+                    # GT-free burst: allowed for the test split only
+                    # (reference: ManualDataset.py.bak:295-408 reads no HR)
+                    if self.split != "test":
+                        raise FileNotFoundError(
+                            f"missing HR frame {hr_path} (split={self.split}; "
+                            f"GT-free trees are only valid with split='test')")
+                    hr_path = None
                 self.records.append(BurstRecord(burst_dir.name, lr_paths, hr_path))
         elif self.layout == "warp":
             for burst_dir in sorted(p for p in root.iterdir() if p.is_dir()):
@@ -128,7 +138,7 @@ class RealBSRDataset:
                         hr_path = f
                     elif len(lr_paths) < self.burst_size:
                         lr_paths.append(f)
-                if hr_path is None:
+                if hr_path is None and self.split != "test":
                     raise FileNotFoundError(f"no HR frame in {burst_dir}")
                 self.records.append(BurstRecord(burst_dir.name, lr_paths, hr_path))
         else:
@@ -158,9 +168,9 @@ class RealBSRDataset:
 
     # --- sample assembly -----------------------------------------------------
 
-    def _decode_burst(self, lr_paths: list[Path], hr_path: Path
-                      ) -> tuple[np.ndarray, np.ndarray]:
-        """Decode one burst's LR frames + HR frame as uint8 arrays.
+    def _decode_burst(self, lr_paths: list[Path], hr_path: Path | None
+                      ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Decode one burst's LR frames (+ HR frame if present) as uint8.
 
         Uses the native libpng decode pool (native/burstio.cc — the DALI
         decode-executor replacement) when available: the whole burst decodes
@@ -172,24 +182,33 @@ class RealBSRDataset:
         if native_io.available():
             if not hasattr(self, "_probe_dims"):
                 probe_lr = _decode_png(lr_paths[0])
-                probe_hr = _decode_png(hr_path)
-                self._probe_dims = (probe_lr.shape[:2], probe_hr.shape[:2])
-            (lh, lw), (hh, hw) = self._probe_dims
+                probe_hr = _decode_png(hr_path) if hr_path else None
+                self._probe_dims = (
+                    probe_lr.shape[:2],
+                    probe_hr.shape[:2] if probe_hr is not None else None)
+            (lh, lw), hr_dims = self._probe_dims
             try:
                 lr = native_io.decode_files(lr_paths, lh, lw, as_float=False)
-                hr = native_io.decode_files([hr_path], hh, hw,
-                                            as_float=False)[0]
+                hr = None
+                if hr_path is not None:
+                    if hr_dims is None:  # mixed GT/GT-free tree: probe now
+                        hr_dims = _decode_png(hr_path).shape[:2]
+                        self._probe_dims = ((lh, lw), hr_dims)
+                    hr = native_io.decode_files([hr_path], hr_dims[0],
+                                                hr_dims[1], as_float=False)[0]
                 return lr, hr
             except OSError:
                 pass  # odd-sized or corrupt file: per-file fallback below
         lr = np.stack([_decode_png(p) for p in lr_paths])
-        return lr, _decode_png(hr_path)
+        return lr, _decode_png(hr_path) if hr_path is not None else None
 
     def load(self, index: int, rng: np.random.Generator | None = None
              ) -> dict[str, np.ndarray | str]:
         """Decode, frame-subset, crop and augment one burst.
 
-        Returns {'LR': [F,h,w,3] f32 [0,1], 'HR': [H,W,3] f32, 'burst_name'}.
+        Returns {'LR': [F,h,w,3] f32 [0,1], 'HR': [H,W,3] f32, 'burst_name'};
+        GT-free test bursts return {'LR', 'burst_name'} only (the reference's
+        ManualDatasets_test contract, fba_net/ManualDataset.py.bak:295-408).
         """
         rec = self.records[index]
         rng = rng or np.random.default_rng(self.seed)
@@ -213,17 +232,22 @@ class RealBSRDataset:
                 c1 = int(rng.integers(0, lr.shape[2] - cs + 1))
             else:  # deterministic top-left, matching the validation dataset
                 r1 = c1 = 0
-            s = hr.shape[0] // lr.shape[1]
+            lr_h = lr.shape[1]
             lr = lr[:, r1:r1 + cs, c1:c1 + cs]
-            hr = hr[s * r1:s * (r1 + cs), s * c1:s * (c1 + cs)]
+            if hr is not None:
+                s = hr.shape[0] // lr_h
+                hr = hr[s * r1:s * (r1 + cs), s * c1:s * (c1 + cs)]
 
         if self.augment and self.split == "train":
             t = int(rng.integers(0, 8))  # random.getrandbits(3) equivalent
             lr = dihedral_transform(lr, t)
-            hr = dihedral_transform(hr, t)
+            if hr is not None:
+                hr = dihedral_transform(hr, t)
 
-        return {
+        out: dict[str, np.ndarray | str] = {
             "LR": (lr.astype(np.float32) / 255.0),
-            "HR": (hr.astype(np.float32) / 255.0),
             "burst_name": rec.name,
         }
+        if hr is not None:
+            out["HR"] = hr.astype(np.float32) / 255.0
+        return out

@@ -119,8 +119,13 @@ def write_synthetic_realbsr(
     seed: int = 0,
     layout: str = "aligned",
     splits: tuple[str, ...] = ("train", "test"),
+    write_hr: bool = True,
 ) -> Path:
-    """Write a small synthetic dataset tree in the chosen filename grammar."""
+    """Write a small synthetic dataset tree in the chosen filename grammar.
+
+    `write_hr=False` writes a GT-free tree (LR frames only) — the input shape
+    of the reference's any-resolution inference
+    (fba_net/ManualDataset.py.bak:295-408)."""
     root = Path(root)
     rng = np.random.default_rng(seed)
     for split in splits if layout == "aligned" else (None,):
@@ -131,18 +136,20 @@ def write_synthetic_realbsr(
             burst_name = f"{scene:03d}_{patch}"
             if layout == "aligned":
                 lr_dir = root / split / "LR_aligned" / burst_name
-                hr_dir = root / split / "HR" / burst_name
                 lr_dir.mkdir(parents=True, exist_ok=True)
-                hr_dir.mkdir(parents=True, exist_ok=True)
                 for f in range(num_frames):
                     _save_png(lr_dir / f"{scene:03d}_MFSR_Sony_{patch:04d}_x1_{f:02d}.png",
                               lr[f])
-                _save_png(hr_dir / f"{scene:03d}_MFSR_Sony_{patch:04d}_x4.png", hr)
+                if write_hr:
+                    hr_dir = root / split / "HR" / burst_name
+                    hr_dir.mkdir(parents=True, exist_ok=True)
+                    _save_png(hr_dir / f"{scene:03d}_MFSR_Sony_{patch:04d}_x4.png", hr)
             else:
                 d = root / burst_name
                 d.mkdir(parents=True, exist_ok=True)
                 for f in range(num_frames):
                     _save_png(d / f"{scene:03d}_MFSR_Sony_{patch:04d}_x{scale}_{f:02d}.png",
                               lr[f])
-                _save_png(d / f"{scene:03d}_MFSR_Sony_{patch:04d}_x{scale}warp.png", hr)
+                if write_hr:
+                    _save_png(d / f"{scene:03d}_MFSR_Sony_{patch:04d}_x{scale}warp.png", hr)
     return root

@@ -88,3 +88,24 @@ def test_align_cli(tmp_path, capsys):
             "--levels", "2", "--iters", "15"])
     assert len(list((tmp_path / "al" / "000_0").glob("*.png"))) == 3
     assert "aligned 1 bursts" in capsys.readouterr().out
+
+
+def test_tiled_cli_gtfree(trained, tmp_path):
+    """Tiled inference over a tree with NO HR files — the exact scenario
+    any-resolution inference exists for (reference:
+    fba_net/test_in_any_resolution.py:46 over ManualDatasets_test)."""
+    from fbanet_tpu import tiled as TL
+    from fbanet_tpu.data.synthetic import write_synthetic_realbsr
+
+    root = tmp_path / "gtfree"
+    write_synthetic_realbsr(root, num_bursts=2, num_frames=3, lr_size=24,
+                            layout="aligned", splits=("test",), write_hr=False)
+    TL.main(["--dataroot", str(root), "--weights", str(trained),
+             "--psize", "8", "--overlap", "4",
+             "--result_dir", str(tmp_path / "tiled_gtfree"), *COMMON])
+    outs = list((tmp_path / "tiled_gtfree").glob("*.png"))
+    assert len(outs) == 2
+    # 24px LR x4 -> 96px HR output
+    from PIL import Image
+
+    assert Image.open(outs[0]).size == (96, 96)

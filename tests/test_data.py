@@ -152,3 +152,42 @@ def test_loader_deterministic_given_seed(aligned_root):
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(a["LR"], b["LR"])
         np.testing.assert_array_equal(a["HR"], b["HR"])
+
+
+@pytest.fixture(scope="module")
+def gtfree_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("realbsr_gtfree")
+    write_synthetic_realbsr(root, num_bursts=3, num_frames=4, lr_size=32,
+                            layout="aligned", splits=("test",), write_hr=False)
+    return root
+
+
+def test_gtfree_test_split(gtfree_root):
+    """GT-free trees load as {'LR', 'burst_name'} under split='test' —
+    the reference's ManualDatasets_test contract
+    (fba_net/ManualDataset.py.bak:295-408)."""
+    ds = RealBSRDataset(gtfree_root, split="test", burst_size=4, crop_size=0,
+                        augment=False)
+    assert len(ds) == 3
+    s = ds.load(0)
+    assert s["LR"].shape == (4, 32, 32, 3)
+    assert "HR" not in s
+    # crop still works on LR alone
+    ds2 = RealBSRDataset(gtfree_root, split="test", burst_size=4, crop_size=16,
+                         augment=False)
+    assert ds2.load(0)["LR"].shape == (4, 16, 16, 3)
+
+
+def test_gtfree_rejected_for_val_split(gtfree_root):
+    with pytest.raises(FileNotFoundError, match="GT-free"):
+        RealBSRDataset(gtfree_root, split="val", burst_size=4, crop_size=0)
+
+
+def test_gtfree_loader_batches(gtfree_root):
+    ds = RealBSRDataset(gtfree_root, split="test", burst_size=4, crop_size=0,
+                        augment=False)
+    loader = BurstLoader(ds, batch_size=2, num_workers=2, drop_last=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    assert batches[0]["LR"].shape == (2, 4, 32, 32, 3)
+    assert "HR" not in batches[0]
