@@ -58,6 +58,43 @@ def _translate(img: np.ndarray, dy: float, dx: float) -> np.ndarray:
             + (img[y0 + 1][:, x0] * (1 - fx) + img[y0 + 1][:, x0 + 1] * fx) * fy)
 
 
+def affine_sample(img: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """Inverse-map bilinear resample of `[H, W, C]` under a 3x3 matrix
+    ((y, x) convention: source = M @ [y, x, 1]), edge-clamped. Numpy-only —
+    the independent oracle for registration-quality tests (never uses the
+    repo's own warp kernels)."""
+    h, w, _ = img.shape
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    den = matrix[2, 0] * ys + matrix[2, 1] * xs + matrix[2, 2]
+    sy = (matrix[0, 0] * ys + matrix[0, 1] * xs + matrix[0, 2]) / den
+    sx = (matrix[1, 0] * ys + matrix[1, 1] * xs + matrix[1, 2]) / den
+    sy = np.clip(sy, 0, h - 1)
+    sx = np.clip(sx, 0, w - 1)
+    y0 = np.floor(sy).astype(int).clip(0, h - 2)
+    x0 = np.floor(sx).astype(int).clip(0, w - 2)
+    fy = (sy - y0)[..., None]
+    fx = (sx - x0)[..., None]
+    return ((img[y0, x0] * (1 - fx) + img[y0, x0 + 1] * fx) * (1 - fy)
+            + (img[y0 + 1, x0] * (1 - fx) + img[y0 + 1, x0 + 1] * fx) * fy
+            ).astype(img.dtype)
+
+
+def rotation_zoom_matrix(h: int, w: int, *, angle_deg: float = 0.0,
+                         zoom: float = 1.0, dy: float = 0.0, dx: float = 0.0
+                         ) -> np.ndarray:
+    """3x3 inverse-map matrix ((y, x) convention) rotating by `angle_deg`
+    and scaling by `zoom` about the image center, plus translation."""
+    a = np.deg2rad(angle_deg)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rot = np.array([[np.cos(a) / zoom, -np.sin(a) / zoom, 0.0],
+                    [np.sin(a) / zoom, np.cos(a) / zoom, 0.0],
+                    [0.0, 0.0, 1.0]])
+    to_c = np.array([[1, 0, -cy], [0, 1, -cx], [0, 0, 1.0]])
+    from_c = np.array([[1, 0, cy + dy], [0, 1, cx + dx], [0, 0, 1.0]])
+    return from_c @ rot @ to_c
+
+
 def synthetic_burst(
     rng: np.random.Generator,
     *,

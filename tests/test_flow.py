@@ -72,3 +72,51 @@ def test_flow_to_image():
     flow[..., 0] = 5.0
     img2 = flow_to_image(flow)
     assert not np.array_equal(img, img2)
+
+
+def _affine_frame(ref, **kw):
+    from fbanet_tpu.data.synthetic import affine_sample, rotation_zoom_matrix
+
+    h, w = ref.shape[:2]
+    m = rotation_zoom_matrix(h, w, **kw)
+    return affine_sample(ref[..., None] if ref.ndim == 2 else ref, m)
+
+
+def test_flow_handles_rotation():
+    """Non-translational motion (2.5 deg rotation): the flow warp must
+    recover most of the error — the capability the DALI hardware-flow path
+    provided (fba_net/pipeline/real_bsr_iterator.py:98-118)."""
+    ref = _smooth(96, 96, seed=7)
+    tgt = _affine_frame(ref, angle_deg=2.5)[..., 0].astype(np.float32)
+    flow = optical_flow(jnp.asarray(ref), jnp.asarray(tgt), levels=3,
+                        iters_per_level=8)
+    warped = np.asarray(warp_flow(jnp.asarray(tgt)[..., None], flow)[..., 0])
+    c = 12
+    before = np.mean((tgt[c:-c, c:-c] - ref[c:-c, c:-c]) ** 2)
+    after = np.mean((warped[c:-c, c:-c] - ref[c:-c, c:-c]) ** 2)
+    assert after < before * 0.25, (before, after)
+
+
+def test_flow_handles_zoom():
+    ref = _smooth(96, 96, seed=8)
+    tgt = _affine_frame(ref, zoom=1.04)[..., 0].astype(np.float32)
+    flow = optical_flow(jnp.asarray(ref), jnp.asarray(tgt), levels=3,
+                        iters_per_level=8)
+    warped = np.asarray(warp_flow(jnp.asarray(tgt)[..., None], flow)[..., 0])
+    c = 12
+    before = np.mean((tgt[c:-c, c:-c] - ref[c:-c, c:-c]) ** 2)
+    after = np.mean((warped[c:-c, c:-c] - ref[c:-c, c:-c]) ** 2)
+    assert after < before * 0.25, (before, after)
+
+
+def test_flow_rotation_field_structure():
+    """The recovered field for a rotation must actually rotate: x-flow
+    changes sign top-to-bottom, y-flow left-to-right."""
+    ref = _smooth(96, 96, seed=9)
+    tgt = _affine_frame(ref, angle_deg=3.0)[..., 0].astype(np.float32)
+    flow = np.asarray(optical_flow(jnp.asarray(ref), jnp.asarray(tgt),
+                                   levels=3, iters_per_level=8))
+    c = 16
+    top_fx = np.median(flow[c:40, c:-c, 0])
+    bot_fx = np.median(flow[-40:-c, c:-c, 0])
+    assert top_fx * bot_fx < 0, (top_fx, bot_fx)
