@@ -22,8 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jaxtyping import Float
+from jaxtyping import Array as JArray
 
 from fbanet_tpu.ops.warp import warp_flow
+from fbanet_tpu.utils.shape_check import typed
 
 Array = jnp.ndarray
 
@@ -104,14 +107,15 @@ def _lk_refine(ref: Array, tgt: Array, flow: Array, *, window_radius: int,
     return lax.fori_loop(0, iters, body, flow)
 
 
+@typed
 def optical_flow(
-    reference: Array,
-    target: Array,
+    reference: Float[JArray, "h w"] | Float[JArray, "h w c"],
+    target: Float[JArray, "h w"] | Float[JArray, "h w c"],
     *,
     levels: int = 4,
     window_radius: int = 4,
     iters_per_level: int = 5,
-) -> Array:
+) -> Float[JArray, "h w 2"]:
     """Dense flow `[H, W, 2]` (x, y) such that `warp_flow(target, flow)`
     registers `target` onto `reference`. Inputs are `[H, W]` grayscale or
     `[H, W, C]` (converted via mean)."""
@@ -138,7 +142,9 @@ def optical_flow(
     return flow
 
 
-def burst_optical_flow(burst: Array, **kw) -> Array:
+@typed
+def burst_optical_flow(burst: Float[JArray, "f h w c"], **kw
+                       ) -> Float[JArray, "f-1 h w 2"]:
     """Flows of frames 1..F-1 against frame 0: `[F-1, H, W, 2]`
     (the shape the reference's DALI pipeline emits as `flows`,
     fba_net/pipeline/real_bsr_dataset.py:17)."""

@@ -29,8 +29,11 @@ from typing import Literal
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jaxtyping import Array as JArray
+from jaxtyping import Float
 
 from fbanet_tpu.ops.warp import warp_burst_homography, warp_image
+from fbanet_tpu.utils.shape_check import typed
 
 Array = jnp.ndarray
 Motion = Literal["translation", "euclidean", "similarity", "affine", "homography"]
@@ -133,33 +136,42 @@ def _warp_coords(p: Array, grid_xy1: Array, motion: Motion) -> Array:
     return src[:2] / denom  # [2, N] (x, y)
 
 
-_TRANS_PAD = 16  # covers per-level translations up to 16 px (plenty for bursts)
+def _translation_interp_mats(p: Array, h: int, w: int
+                             ) -> tuple[Array, Array]:
+    """Row/col bilinear interpolation matrices for a pure translation.
 
-
-def _warp_translation_ds(padded: Array, p: Array, h: int, w: int) -> Array:
-    """Bilinear translation warp via 4 scalar dynamic slices of an
-    edge-padded image — no gather.
-
-    XLA:TPU lowers gathers whose indices are computed in-program through a
-    T(1,128) index relayout that costs ~37 ms for a 160px image (measured on
-    v5e); four dynamic slices of a padded [H+2P, W+2P] buffer compute the
-    identical result in 0.04 ms. This is the hot path of burst ECC — the
-    reference's batch registration is translation-only
-    (fba_net/homography_alignment.py:97-118).
+    `p = (tx, ty)`: returns `(Ry [h, h], Cx [w, w])` f32 such that
+    `Ry @ img @ Cx^T` samples `img` at `(y + ty, x + tx)` with edge
+    clamping — the same result as the dynamic-slice warp, but built from
+    iota comparisons and applied with matmuls. Crucially this stays
+    gather-free **under vmap**: a vmapped `dynamic_slice` lowers to the
+    computed-index gather this module exists to avoid (~37 ms/frame on
+    v5e), while vmapped comparisons/matmuls batch cleanly onto the MXU.
     """
     tx, ty = p[0], p[1]
-    x0 = jnp.floor(tx).astype(jnp.int32)
-    y0 = jnp.floor(ty).astype(jnp.int32)
-    fx = tx - x0
-    fy = ty - y0
 
-    def sl(dy: int, dx: int) -> Array:
-        return jax.lax.dynamic_slice(
-            padded, (_TRANS_PAD + y0 + dy, _TRANS_PAD + x0 + dx), (h, w))
+    def mat(n: int, t: Array) -> Array:
+        i0 = jnp.floor(t)
+        f = t - i0
+        idx = jnp.arange(n, dtype=jnp.float32) + i0
+        j0 = jnp.clip(idx, 0.0, n - 1.0)
+        j1 = jnp.clip(idx + 1.0, 0.0, n - 1.0)
+        cols = jnp.arange(n, dtype=jnp.float32)[None, :]
+        return ((cols == j0[:, None]) * (1.0 - f)
+                + (cols == j1[:, None]) * f).astype(jnp.float32)
 
-    top = sl(0, 0) * (1 - fx) + sl(0, 1) * fx
-    bot = sl(1, 0) * (1 - fx) + sl(1, 1) * fx
-    return top * (1 - fy) + bot * fy
+    return mat(h, ty), mat(w, tx)
+
+
+def _warp_translation_mm(stack: Array, p: Array) -> Array:
+    """Warp a channel stack `[C, H, W]` by translation `p = (tx, ty)` via the
+    interpolation matrices (f32-exact: HIGHEST matmul precision)."""
+    c, h, w = stack.shape
+    ry, cx = _translation_interp_mats(p, h, w)
+    rows = jnp.einsum("ij,cjw->ciw", ry, stack,
+                      precision=lax.Precision.HIGHEST)
+    return jnp.einsum("xw,ciw->cix", cx, rows,
+                      precision=lax.Precision.HIGHEST)
 
 
 def _ecc_translation_level(
@@ -168,20 +180,28 @@ def _ecc_translation_level(
     p0: Array,
     num_iters: int,
 ) -> tuple[Array, Array]:
-    """Translation-model ECC at one level using the dynamic-slice warp."""
+    """Translation-model ECC at one level using the matmul warp.
+
+    History: this path first used per-frame `dynamic_slice` warps, which are
+    fast standalone but lower to the slow computed-index gather **once
+    vmapped over frames/batch** (measured: 37.5 ms per batch-4 x 13-frame
+    `align_burst` on v5e, dominated by exactly that). The one-hot matmul
+    warp keeps the whole burst on the MXU under any vmap nesting.
+    """
     h, w = template.shape
     tbar = template.reshape(-1)
     tbar = tbar - jnp.mean(tbar)
     t_norm = jnp.sqrt(jnp.sum(tbar * tbar)) + 1e-12
 
     gx, gy = _image_gradients(image)
-    pads = [jnp.pad(a, _TRANS_PAD, mode="edge") for a in (image, gx, gy)]
+    stack = jnp.stack([image, gx, gy])  # warp all three in one matmul pass
 
     def body(_i, carry):
         p, _rho = carry
-        iw = _warp_translation_ds(pads[0], p, h, w).reshape(-1)
-        ixw = _warp_translation_ds(pads[1], p, h, w).reshape(-1)
-        iyw = _warp_translation_ds(pads[2], p, h, w).reshape(-1)
+        warped = _warp_translation_mm(stack, p)
+        iw = warped[0].reshape(-1)
+        ixw = warped[1].reshape(-1)
+        iyw = warped[2].reshape(-1)
         ibar = iw - jnp.mean(iw)
         i_norm2 = jnp.sum(ibar * ibar) + 1e-12
 
@@ -287,15 +307,16 @@ def _ecc_single_level(
     return p, rho
 
 
+@typed
 def ecc_align(
-    template: Array,
-    image: Array,
+    template: Float[JArray, "h w"],
+    image: Float[JArray, "h w"],
     *,
     motion: Motion = "translation",
     levels: int = 3,
     iters_per_level: int = 25,
-    init_matrix: Array | None = None,
-) -> tuple[Array, Array]:
+    init_matrix: Float[JArray, "3 3"] | None = None,
+) -> tuple[Float[JArray, "3 3"], Float[JArray, ""]]:
     """Estimate the warp aligning `image` to `template`.
 
     Both inputs are grayscale `[H, W]` f32. Returns `(matrix, rho)` where
@@ -336,7 +357,9 @@ def ecc_align(
     return m, rho
 
 
-def online_register(batch: Array, method: str = "ecc") -> Array:
+@typed
+def online_register(batch: Float[JArray, "b f h w c"], method: str = "ecc"
+                    ) -> Float[JArray, "b f h w c"]:
     """Register a batched burst `[B, F, H, W, C]` to frame 0 inside a
     training/eval step — the reference's *online* DALI registration graph
     (decode -> optical flow -> remap, fba_net/pipeline/real_bsr_iterator.py)
@@ -403,13 +426,8 @@ def align_burst(
         # push the XLA gather onto its slow computed-index path
         def warp_one(frame: Array, mat: Array) -> Array:
             p = jnp.array([mat[0, 2], mat[1, 2]])
-            chans = [
-                _warp_translation_ds(
-                    jnp.pad(frame[..., ch], _TRANS_PAD, mode="edge"), p,
-                    frame.shape[0], frame.shape[1])
-                for ch in range(frame.shape[-1])
-            ]
-            return jnp.stack(chans, axis=-1)
+            return _warp_translation_mm(
+                frame.transpose(2, 0, 1), p).transpose(1, 2, 0)
 
         aligned = jax.vmap(warp_one)(burst.astype(jnp.float32), mats)
         aligned = aligned.astype(burst.dtype)
