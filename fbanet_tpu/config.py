@@ -40,6 +40,10 @@ class ModelConfig:
     # TPU-native knobs (no reference equivalent):
     dtype: str = "bfloat16"  # compute dtype inside the network
     param_dtype: str = "float32"  # parameter/optimizer dtype
+    # window attention implementation: "pallas" = fused kernel
+    # (ops/attention_pallas.py), "xla" = composed flax ops, "auto" = pallas
+    # on TPU / xla elsewhere. The parameter tree is identical either way.
+    attention_impl: Literal["auto", "xla", "pallas"] = "auto"
     remat: bool = True  # rematerialize attention layers in the backward pass
     # (jax.checkpoint per SwinLayer: trades ~15% step time for the activation
     # memory that otherwise kills >3-sample/chip training at 160px)

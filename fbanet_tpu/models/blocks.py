@@ -102,8 +102,19 @@ class FAFBlock(nn.Module):
             [frames[:, :1], frames[:, 1:] * gate[..., None]], axis=1)
 
         # --- (b) fusion hourglass ---
-        stacked = guided.transpose(0, 2, 3, 4, 1).reshape(b, h, w, c * f)
-        feat = conv(c, 1, "feature_fusion")(stacked)
+        # The reference concatenates all F*C channels then applies a 1x1 conv
+        # (federated_affinity_fusion.py:110-120). Materializing that
+        # [B, H, W, C*F] transpose costs a ~180 MB relayout at the published
+        # size; contracting (F, C) directly in one einsum is the same math on
+        # the same parameters without the relayout. Channel order after
+        # transpose(0,2,3,4,1).reshape is c*F + f, hence the kernel reshape.
+        from fbanet_tpu.models.layers import _ConvParams
+
+        wff, bff = _ConvParams((1, 1), c * f, c, param_dtype=self.param_dtype,
+                               name="feature_fusion")()
+        wff = wff.reshape(c, f, c).astype(self.dtype)  # [c_in, f, c_out]
+        feat = jnp.einsum("bfhwc,cfo->bhwo", guided.astype(self.dtype), wff)
+        feat = feat + bff.astype(self.dtype)
         feat = PReLU(init_alpha=0.1, param_dtype=self.param_dtype,
                      name="feature_fusion_act")(feat)
 
@@ -150,6 +161,7 @@ class SwinGroup(nn.Module):
     token_projection: Literal["linear", "conv"] = "linear"
     token_mlp: Literal["ffn", "leff"] = "leff"
     use_se_layer: bool = False
+    attention_impl: Literal["auto", "xla", "pallas"] = "auto"
     remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -176,6 +188,7 @@ class SwinGroup(nn.Module):
                 token_projection=self.token_projection,
                 token_mlp=self.token_mlp,
                 use_se_layer=self.use_se_layer,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer{i}",

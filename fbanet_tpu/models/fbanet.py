@@ -80,8 +80,9 @@ class FBANet(nn.Module):
                 qk_scale=cfg.qk_scale, drop_rate=cfg.drop_rate,
                 attn_drop_rate=cfg.attn_drop_rate, drop_path_rates=dprs,
                 token_projection=cfg.token_projection, token_mlp=cfg.token_mlp,
-                use_se_layer=cfg.use_se_layer, remat=cfg.remat, dtype=dtype,
-                param_dtype=pdtype, name=name,
+                use_se_layer=cfg.use_se_layer,
+                attention_impl=cfg.attention_impl, remat=cfg.remat,
+                dtype=dtype, param_dtype=pdtype, name=name,
             )
 
         from fbanet_tpu.models.layers import Downsample, Upsample

@@ -42,6 +42,10 @@ from fbanet_tpu.utils import assert_shape
 Array = jnp.ndarray
 Dtype = jnp.dtype
 
+# torch nn.LayerNorm default (the published checkpoint was trained with it;
+# flax defaults to 1e-6 — kept at 1e-5 for import fidelity)
+_LN_EPS = 1e-5
+
 
 class PReLU(nn.Module):
     """Parametric ReLU with a single learnable slope.
@@ -134,6 +138,142 @@ def shift_attention_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     idw = ids.reshape(nh, ws, nw, ws).transpose(0, 2, 1, 3).reshape(nh * nw, ws * ws)
     mask = (idw[:, :, None] != idw[:, None, :]).astype(np.float32) * -100.0
     return mask
+
+
+class _DenseParams(nn.Module):
+    """Declare a flax-Dense-shaped kernel/bias without calling Dense.
+
+    Lets the fused Pallas attention path consume raw parameter arrays while
+    keeping the *identical* parameter tree (names, shapes, inits) as the XLA
+    path's nn.Dense submodules — checkpoints are interchangeable.
+    """
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> tuple[Array, Array | None]:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), self.param_dtype)
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    """LayerNorm scale/bias parameters (same tree as nn.LayerNorm) for the
+    fused path, where the normalization itself runs inside the kernel."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> tuple[Array, Array]:
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return scale, bias
+
+
+class FusedWindowAttention(nn.Module):
+    """Parameter container + dispatch for the fused Pallas window attention.
+
+    Parameter tree is identical to `WindowAttention` (to_q/to_kv/proj +
+    relative_position_bias_table); the math — including the preceding
+    LayerNorm, whose parameters the caller passes in — runs in one Pallas
+    kernel (fbanet_tpu/ops/attention_pallas.py).
+    """
+
+    dim: int
+    window_size: int
+    heads: int
+    use_qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, windows: Array, ln_scale: Array, ln_bias: Array,
+                 mask: Array | None, windows_per_image: int) -> Array:
+        from fbanet_tpu.ops.attention_pallas import fused_window_attention
+
+        c = self.dim
+        n = self.window_size ** 2
+        wq, bq = _DenseParams(c, c, self.use_qkv_bias,
+                              param_dtype=self.param_dtype, name="to_q")()
+        wkv, bkv = _DenseParams(c, 2 * c, self.use_qkv_bias,
+                                param_dtype=self.param_dtype, name="to_kv")()
+        wproj, bproj = _DenseParams(c, c, True, param_dtype=self.param_dtype,
+                                    name="proj")()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * self.window_size - 1) ** 2, self.heads),
+            self.param_dtype,
+        )
+        idx = relative_position_index(self.window_size)
+        bias = table[idx.reshape(-1)].reshape(n, n, self.heads).transpose(2, 0, 1)
+        zeros = lambda d: jnp.zeros((d,), self.param_dtype)  # noqa: E731
+        return fused_window_attention(
+            windows, ln_scale, ln_bias,
+            wq, bq if bq is not None else zeros(c),
+            wkv, bkv if bkv is not None else zeros(2 * c),
+            wproj, bproj, bias, mask,
+            heads=self.heads, windows_per_image=windows_per_image,
+            compute_dtype=self.dtype)
+
+
+class FusedLeFF(nn.Module):
+    """Parameter container + dispatch for the fused Pallas LeFF kernel.
+
+    Parameter tree is identical to `LeFF` (linear1/depthwise/linear2); the
+    math — including the preceding norm2 LayerNorm, whose parameters the
+    caller passes in — runs in one Pallas kernel
+    (fbanet_tpu/ops/leff_pallas.py). Returns the pre-residual FFN branch.
+    """
+
+    dim: int
+    hidden_dim: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, ln_scale: Array, ln_bias: Array) -> Array:
+        from fbanet_tpu.ops.leff_pallas import fused_leff
+
+        c, ch = self.dim, self.hidden_dim
+        w1, b1 = _DenseParams(c, ch, True, param_dtype=self.param_dtype,
+                              name="linear1")()
+        # depthwise conv params: flax Conv kernel [3, 3, in/groups=1, Ch]
+        wdw = _ConvParams((3, 3), 1, ch, param_dtype=self.param_dtype,
+                          name="depthwise")()
+        w2, b2 = _DenseParams(ch, c, True, param_dtype=self.param_dtype,
+                              name="linear2")()
+        return fused_leff(x, ln_scale, ln_bias, w1, b1, wdw[0], wdw[1], w2,
+                          b2, compute_dtype=self.dtype)
+
+
+class _ConvParams(nn.Module):
+    """Declare a flax-Conv-shaped kernel/bias without calling Conv (same
+    tree as nn.Conv: kernel [Kh, Kw, in/groups, out], bias [out])."""
+
+    kernel_size: tuple[int, int]
+    in_per_group: int
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> tuple[Array, Array]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, self.in_per_group, self.features),
+            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return kernel, bias
 
 
 class SepConv2d(nn.Module):
@@ -346,8 +486,22 @@ class SwinLayer(nn.Module):
     token_projection: Literal["linear", "conv"] = "linear"
     token_mlp: Literal["ffn", "leff"] = "leff"
     use_se_layer: bool = False
+    attention_impl: Literal["auto", "xla", "pallas"] = "auto"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    def _use_fused_attention(self) -> bool:
+        """Fused Pallas path: linear projection, no SE/dropout/qk override.
+        'auto' fuses on TPU only (CPU Pallas runs interpreted — slow)."""
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        return (impl == "pallas"
+                and self.token_projection == "linear"
+                and not self.use_se_layer
+                and self.qk_scale is None
+                and self.attn_drop_rate == 0.0
+                and self.drop_rate == 0.0)
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -363,23 +517,43 @@ class SwinLayer(nn.Module):
         assert (xh, xw) == (h, w) and c == self.dim
 
         skip = x
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
-
-        if shift > 0:
-            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(shift_attention_mask(h, w, ws, shift))
+        if self._use_fused_attention():
+            # LN runs inside the kernel (it commutes with roll/partition,
+            # both token-wise reorderings), so partition the raw stream.
+            ln_scale, ln_bias = _LayerNormParams(
+                self.dim, param_dtype=jnp.float32, name="norm1")()
+            y = x
+            if shift > 0:
+                y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+                mask = jnp.asarray(shift_attention_mask(h, w, ws, shift))
+            else:
+                mask = None
+            windows = window_partition(y, ws)
+            attn_windows = FusedWindowAttention(
+                dim=self.dim, window_size=ws, heads=self.heads,
+                use_qkv_bias=self.use_qkv_bias, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="attn",
+            )(windows, ln_scale, ln_bias, mask,
+              windows_per_image=(h // ws) * (w // ws))
         else:
-            mask = None
+            y = nn.LayerNorm(epsilon=_LN_EPS, dtype=jnp.float32,
+                             name="norm1")(x).astype(self.dtype)
 
-        windows = window_partition(y, ws)
-        attn_windows = WindowAttention(
-            dim=self.dim, window_size=ws, heads=self.heads,
-            use_qkv_bias=self.use_qkv_bias, qk_scale=self.qk_scale,
-            attn_drop_rate=self.attn_drop_rate, proj_drop_rate=self.drop_rate,
-            token_projection=self.token_projection,
-            use_se_layer=self.use_se_layer, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="attn",
-        )(windows, mask=mask, deterministic=deterministic)
+            if shift > 0:
+                y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+                mask = jnp.asarray(shift_attention_mask(h, w, ws, shift))
+            else:
+                mask = None
+
+            windows = window_partition(y, ws)
+            attn_windows = WindowAttention(
+                dim=self.dim, window_size=ws, heads=self.heads,
+                use_qkv_bias=self.use_qkv_bias, qk_scale=self.qk_scale,
+                attn_drop_rate=self.attn_drop_rate, proj_drop_rate=self.drop_rate,
+                token_projection=self.token_projection,
+                use_se_layer=self.use_se_layer, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="attn",
+            )(windows, mask=mask, deterministic=deterministic)
         y = window_reverse(attn_windows, ws, h, w)
 
         if shift > 0:
@@ -388,15 +562,26 @@ class SwinLayer(nn.Module):
         drop_path = DropPath(self.drop_path_rate, name="drop_path")
         x = skip + drop_path(y, deterministic=deterministic).astype(skip.dtype)
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
-        if self.token_mlp == "leff":
-            y = LeFF(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="mlp")(y)
+        if self._use_fused_attention() and self.token_mlp == "leff":
+            # norm2 + LeFF in one Pallas kernel (the 4C hidden activations
+            # never touch HBM); residual + drop_path stay outside
+            ln2_scale, ln2_bias = _LayerNormParams(
+                self.dim, param_dtype=jnp.float32, name="norm2")()
+            y = FusedLeFF(self.dim, int(self.dim * self.mlp_ratio),
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="mlp")(x, ln2_scale, ln2_bias)
         else:
-            y = MlpFFN(self.dim, int(self.dim * self.mlp_ratio),
-                       drop_rate=self.drop_rate, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="mlp")(
-                y, deterministic=deterministic)
+            y = nn.LayerNorm(epsilon=_LN_EPS, dtype=jnp.float32,
+                             name="norm2")(x).astype(self.dtype)
+            if self.token_mlp == "leff":
+                y = LeFF(self.dim, int(self.dim * self.mlp_ratio),
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="mlp")(y)
+            else:
+                y = MlpFFN(self.dim, int(self.dim * self.mlp_ratio),
+                           drop_rate=self.drop_rate, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="mlp")(
+                    y, deterministic=deterministic)
         x = x + drop_path(y, deterministic=deterministic).astype(x.dtype)
         assert_shape((b, h, w, self.dim), x)
         return x

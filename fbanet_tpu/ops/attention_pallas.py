@@ -1,0 +1,291 @@
+"""Fused Pallas TPU window-attention kernel.
+
+One SwinLayer attention branch — LayerNorm -> QKV projection -> scaled
+multi-head attention with relative-position bias (+ optional shift mask) ->
+output projection — executed as a single Pallas kernel over blocks of
+windows. The XLA path materializes ~a dozen HBM-sized intermediates per layer
+(LN output, q/k/v, f32 attention logits, softmax, per-head outputs, ...);
+here everything after the window partition lives in VMEM, and the QKV/proj
+matmuls run at full width so the MXU sees [GB*N, C] x [C, C] shapes.
+
+Semantics match fbanet_tpu.models.layers.WindowAttention (+ its preceding
+norm1 LayerNorm) exactly; `window_attention_reference` below is the
+line-for-line XLA restatement used as the custom-VJP backward rule and the
+parity oracle in tests. The reference model computed this per window with a
+vmapped Equinox module (fba_net/layers/fba_net.py:195-249,
+fba_net/layers/window_attention.py); the fusion itself has no reference
+counterpart — it is the TPU-native design for SURVEY.md §8 hard-part #5.
+
+Layout notes (Mosaic):
+- windows arrive pre-partitioned as [G, N, C] (G = batch * windows/image,
+  N = window_size**2); the partition/reverse reshapes stay in XLA where they
+  fuse with the surrounding roll/residual ops.
+- [GB, N, C] -> [GB*N, C] merges are layout-free because N % 8 == 0;
+  per-head lane slices use static offsets; all matmuls set
+  preferred_element_type=f32.
+- LayerNorm/softmax are computed in f32 regardless of the compute dtype,
+  mirroring the flax modules (scale folded into rsqrt *before* the multiply,
+  fast-variance clamped at 0, eps 1e-6).
+
+Backward: jax.custom_vjp with the forward running the kernel and the
+backward differentiating `window_attention_reference` — identical math, so
+gradients are exact while training forwards get the fused kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+_LN_EPS = 1e-5  # torch nn.LayerNorm default — matches models/layers._LN_EPS
+
+
+class _AttnStatic(NamedTuple):
+    """Hashable static config for the custom_vjp."""
+
+    heads: int
+    windows_per_image: int  # mask periodicity along the window axis
+    compute_dtype: str  # "float32" | "bfloat16"
+    block_windows: int
+    interpret: bool
+
+
+def _supported(n: int, c: int, heads: int) -> bool:
+    """Shapes the kernel lowers cleanly for (everything else -> XLA path)."""
+    return n % 8 == 0 and c % heads == 0 and (c // heads) % 8 == 0
+
+
+def pick_block_windows(n_windows: int, n: int, c: int, *,
+                       vmem_budget: int = 6 * 2**20) -> int:
+    """Largest divisor of `n_windows` whose block fits the VMEM budget.
+
+    The mask BlockSpec indexes blocks modulo (windows_per_image /
+    block_windows), so the block size must divide the per-image window count.
+    """
+    # per-window VMEM bytes: x/y/q2/kv2(x2)/o2/out live concurrently in f32
+    # (~7 n*c buffers) plus attention logits + softmax temporaries
+    per_window = n * c * 4 * 7 + n * n * 4 * 3
+    cap = max(1, vmem_budget // per_window)
+    best = 1
+    for d in range(1, min(n_windows, 64) + 1):
+        if n_windows % d == 0 and d <= cap:
+            best = d
+    return best
+
+
+# --------------------------------------------------------------------------
+# XLA reference (the exact math of norm1 + WindowAttention, as functions of
+# explicit parameter arrays) — backward rule and parity oracle.
+# --------------------------------------------------------------------------
+
+def window_attention_reference(x: Array, ln_scale: Array, ln_bias: Array,
+                               wq: Array, bq: Array, wkv: Array, bkv: Array,
+                               wproj: Array, bproj: Array, bias: Array,
+                               mask: Array | None, *, heads: int,
+                               compute_dtype=jnp.float32) -> Array:
+    """[G, N, C] pre-norm windows -> [G, N, C] attention branch output.
+
+    Mirrors models/layers.py (norm1 -> WindowAttention with linear token
+    projection, no dropout, no SE) with parameters passed explicitly.
+    `bias` is the gathered relative-position bias [heads, N, N];
+    `mask` is the per-window shift mask [nW, N, N] or None.
+    """
+    g, n, c = x.shape
+    h = heads
+    dh = c // h
+    cdtype = jnp.dtype(compute_dtype)
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    mul = jax.lax.rsqrt(var + _LN_EPS) * ln_scale.astype(jnp.float32)
+    y = ((xf - mu) * mul + ln_bias.astype(jnp.float32)).astype(cdtype)
+
+    q = y @ wq.astype(cdtype) + bq.astype(cdtype)
+    kv = y @ wkv.astype(cdtype) + bkv.astype(cdtype)
+    k, v = jnp.split(kv, 2, axis=-1)
+
+    q = q.reshape(g, n, h, dh).transpose(0, 2, 1, 3) * (dh ** -0.5)
+    k = k.reshape(g, n, h, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(g, n, h, dh).transpose(0, 2, 1, 3)
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias[None].astype(attn.dtype)
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(g // nw, nw, h, n, n)
+        attn = attn + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(g, h, n, n)
+    attn = jax.nn.softmax(attn, axis=-1).astype(cdtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(g, n, c)
+    out = out @ wproj.astype(cdtype) + bproj.astype(cdtype)
+    return out.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel
+# --------------------------------------------------------------------------
+
+def _attention_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref,
+                      bkv_ref, wproj_ref, bproj_ref, bias_ref, *rest,
+                      heads: int, n: int, c: int, gb: int, has_mask: bool,
+                      compute_dtype: str) -> None:
+    if has_mask:
+        mask_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    cdtype = jnp.dtype(compute_dtype)
+    h, dh = heads, c // heads
+    scale = dh ** -0.5
+
+    # --- LayerNorm (f32, flax semantics) ---
+    xf = x_ref[...].astype(jnp.float32)  # [GB, N, C]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    mul = jax.lax.rsqrt(var + _LN_EPS) * lns_ref[...].astype(jnp.float32)
+    y = ((xf - mu) * mul + lnb_ref[...].astype(jnp.float32)).astype(cdtype)
+
+    # --- full-width QKV projections (big MXU matmuls) ---
+    y2 = y.reshape(gb * n, c)
+    q2 = (jnp.dot(y2, wq_ref[...].astype(cdtype),
+                  preferred_element_type=jnp.float32)
+          + bq_ref[...].astype(jnp.float32)) * scale
+    kv2 = (jnp.dot(y2, wkv_ref[...].astype(cdtype),
+                   preferred_element_type=jnp.float32)
+           + bkv_ref[...].astype(jnp.float32))
+    q2 = q2.astype(cdtype)
+    kv2 = kv2.astype(cdtype)
+
+    # --- per-head attention (static Python loop; lane slices are static) ---
+    dn = (((2,), (2,)), ((0,), (0,)))  # batch window dim, contract dh
+    dn_av = (((2,), (1,)), ((0,), (0,)))  # contract key dim of [GB, N, N]
+    outs = []
+    for i in range(h):
+        qh = q2[:, i * dh:(i + 1) * dh].reshape(gb, n, dh)
+        kh = kv2[:, i * dh:(i + 1) * dh].reshape(gb, n, dh)
+        vh = kv2[:, c + i * dh:c + (i + 1) * dh].reshape(gb, n, dh)
+        attn = jax.lax.dot_general(qh, kh, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+        attn = attn + bias_ref[i][None]
+        if has_mask:
+            attn = attn + mask_ref[...]
+        attn = jax.nn.softmax(attn, axis=-1).astype(cdtype)
+        oh = jax.lax.dot_general(attn, vh, dimension_numbers=dn_av,
+                                 preferred_element_type=jnp.float32)
+        outs.append(oh.astype(cdtype).reshape(gb * n, dh))
+
+    o2 = outs[0] if h == 1 else jnp.concatenate(outs, axis=-1)  # [GB*N, C]
+    out = (jnp.dot(o2, wproj_ref[...].astype(cdtype),
+                   preferred_element_type=jnp.float32)
+           + bproj_ref[...].astype(jnp.float32))
+    out_ref[...] = out.astype(out_ref.dtype).reshape(gb, n, c)
+
+
+def _pallas_forward(cfg: _AttnStatic, x, ln_scale, ln_bias, wq, bq, wkv, bkv,
+                    wproj, bproj, bias, mask):
+    g, n, c = x.shape
+    gb = cfg.block_windows
+    assert g % gb == 0, (g, gb)
+    has_mask = mask is not None
+    if has_mask:
+        assert cfg.windows_per_image % gb == 0
+
+    # biases as [1, D] rows (Mosaic wants rank >= 2)
+    kernel = functools.partial(
+        _attention_kernel, heads=cfg.heads, n=n, c=c, gb=gb,
+        has_mask=has_mask, compute_dtype=cfg.compute_dtype)
+
+    full = lambda *_: (0,) * 2  # weights/biases: one block, constant
+    in_specs = [
+        pl.BlockSpec((gb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),   # ln_scale
+        pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),   # ln_bias
+        pl.BlockSpec((c, c), full, memory_space=pltpu.VMEM),   # wq
+        pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),   # bq
+        pl.BlockSpec((c, 2 * c), full, memory_space=pltpu.VMEM),  # wkv
+        pl.BlockSpec((1, 2 * c), full, memory_space=pltpu.VMEM),  # bkv
+        pl.BlockSpec((c, c), full, memory_space=pltpu.VMEM),   # wproj
+        pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),   # bproj
+        pl.BlockSpec((cfg.heads, n, n), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),                 # rel-pos bias
+    ]
+    args = [x,
+            ln_scale.reshape(1, c), ln_bias.reshape(1, c),
+            wq, bq.reshape(1, c), wkv, bkv.reshape(1, 2 * c),
+            wproj, bproj.reshape(1, c), bias.astype(jnp.float32)]
+    if has_mask:
+        nwb = cfg.windows_per_image // gb
+        in_specs.append(pl.BlockSpec((gb, n, n), lambda i, _nwb=nwb: (i % _nwb, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask.astype(jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(g // gb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((gb, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, n, c), x.dtype),
+        interpret=cfg.interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused(cfg: _AttnStatic, x, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj,
+           bproj, bias, mask):
+    return _pallas_forward(cfg, x, ln_scale, ln_bias, wq, bq, wkv, bkv,
+                           wproj, bproj, bias, mask)
+
+
+def _fused_fwd(cfg, *args):
+    return _pallas_forward(cfg, *args), args
+
+
+def _fused_bwd(cfg, residuals, g):
+    ref = functools.partial(window_attention_reference, heads=cfg.heads,
+                            compute_dtype=jnp.dtype(cfg.compute_dtype))
+    _, vjp = jax.vjp(lambda *a: ref(*a), *residuals)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_window_attention(x: Array, ln_scale: Array, ln_bias: Array,
+                           wq: Array, bq: Array, wkv: Array, bkv: Array,
+                           wproj: Array, bproj: Array, bias: Array,
+                           mask: Array | None, *, heads: int,
+                           windows_per_image: int,
+                           compute_dtype=jnp.float32,
+                           interpret: bool | None = None) -> Array:
+    """Fused norm1 + window attention on `[G, N, C]` windows.
+
+    Falls back to the XLA reference automatically for shapes the kernel does
+    not support (N not a multiple of 8, head_dim not a multiple of 8).
+    """
+    g, n, c = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not _supported(n, c, heads):
+        return window_attention_reference(
+            x, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj, bproj, bias, mask,
+            heads=heads, compute_dtype=compute_dtype)
+    nw = windows_per_image if mask is not None else g
+    gb_limit = nw
+    # the block must also divide the total window count
+    while g % gb_limit != 0:
+        gb_limit -= 1
+    gb = pick_block_windows(gb_limit, n, c)
+    cfg = _AttnStatic(heads=heads, windows_per_image=windows_per_image,
+                      compute_dtype=jnp.dtype(compute_dtype).name,
+                      block_windows=gb, interpret=bool(interpret))
+    return _fused(cfg, x, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj, bproj,
+                  bias, mask)

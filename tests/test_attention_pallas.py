@@ -1,0 +1,211 @@
+"""Fused Pallas window-attention parity vs the XLA path.
+
+The kernel runs in interpret mode on CPU (Mosaic lowering is exercised on
+the real chip by bench.py and the TPU-side integration runs); these tests
+pin the *math* — forward and gradients — against the composed flax modules.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fbanet_tpu.config import ModelConfig
+from fbanet_tpu.models import init_model
+from fbanet_tpu.models.layers import SwinLayer, shift_attention_mask
+from fbanet_tpu.ops.attention_pallas import (
+    fused_window_attention,
+    pick_block_windows,
+    window_attention_reference,
+)
+
+
+def _rand_params(rng, c, heads, ws):
+    k = iter(jax.random.split(jax.random.key(rng), 12))
+    n = ws * ws
+    return dict(
+        ln_scale=jax.random.normal(next(k), (c,)) * 0.1 + 1.0,
+        ln_bias=jax.random.normal(next(k), (c,)) * 0.1,
+        wq=jax.random.normal(next(k), (c, c)) * c ** -0.5,
+        bq=jax.random.normal(next(k), (c,)) * 0.1,
+        wkv=jax.random.normal(next(k), (c, 2 * c)) * c ** -0.5,
+        bkv=jax.random.normal(next(k), (2 * c,)) * 0.1,
+        wproj=jax.random.normal(next(k), (c, c)) * c ** -0.5,
+        bproj=jax.random.normal(next(k), (c,)) * 0.1,
+        bias=jax.random.normal(next(k), (heads, n, n)) * 0.5,
+    )
+
+
+@pytest.mark.parametrize("heads,c", [(1, 16), (2, 32), (4, 32)])
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_matches_reference(heads, c, masked):
+    ws, img = 4, 16
+    n, nw = ws * ws, (img // ws) ** 2
+    g = 2 * nw  # batch of 2 images
+    p = _rand_params(heads * 100 + c, c, heads, ws)
+    x = jax.random.normal(jax.random.key(7), (g, n, c))
+    mask = (jnp.asarray(shift_attention_mask(img, img, ws, ws // 2))
+            if masked else None)
+
+    ref = window_attention_reference(x, **p, mask=mask, heads=heads)
+    got = fused_window_attention(x, **p, mask=mask, heads=heads,
+                                 windows_per_image=nw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_bf16_close():
+    heads, c, ws, img = 2, 32, 4, 8
+    n, nw = ws * ws, (img // ws) ** 2
+    p = _rand_params(3, c, heads, ws)
+    x = jax.random.normal(jax.random.key(9), (3 * nw, n, c), jnp.bfloat16)
+    ref = window_attention_reference(x, **p, mask=None, heads=heads,
+                                     compute_dtype=jnp.bfloat16)
+    got = fused_window_attention(x, **p, mask=None, heads=heads,
+                                 windows_per_image=nw,
+                                 compute_dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=0.05)
+
+
+def test_fused_gradients_match_reference():
+    """custom_vjp backward == autodiff through the XLA reference."""
+    heads, c, ws, img = 2, 16, 4, 8
+    n, nw = ws * ws, (img // ws) ** 2
+    p = _rand_params(11, c, heads, ws)
+    x = jax.random.normal(jax.random.key(13), (2 * nw, n, c))
+    mask = jnp.asarray(shift_attention_mask(img, img, ws, ws // 2))
+
+    def loss_fused(x, wq):
+        out = fused_window_attention(x, **{**p, "wq": wq}, mask=mask,
+                                     heads=heads, windows_per_image=nw,
+                                     interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x, wq):
+        out = window_attention_reference(x, **{**p, "wq": wq}, mask=mask,
+                                         heads=heads)
+        return jnp.sum(out ** 2)
+
+    gx1, gw1 = jax.grad(loss_fused, argnums=(0, 1))(x, p["wq"])
+    gx2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(x, p["wq"])
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pick_block_windows_divides():
+    for nw in (16, 25, 100, 400):
+        gb = pick_block_windows(nw, 64, 64)
+        assert nw % gb == 0 and gb >= 1
+
+
+TINY = ModelConfig(num_frames=2, img_size=16, embed_dim=16, window_size=4,
+                   heads=(1, 2, 4, 8, 4, 4, 2, 2, 2), dtype="float32",
+                   drop_path_rate=0.0)
+
+
+def test_swinlayer_pallas_vs_xla_params_interchange():
+    """The two impls share one parameter tree and produce the same output
+    (bit-compat params; values equal to float tolerance)."""
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 16))
+    for shift in (0, 2):
+        la = SwinLayer(dim=16, input_resolution=(16, 16), heads=2,
+                       window_size=4, shift_size=shift, attention_impl="xla")
+        lb = SwinLayer(dim=16, input_resolution=(16, 16), heads=2,
+                       window_size=4, shift_size=shift,
+                       attention_impl="pallas")
+        pa = la.init(jax.random.key(1), x)
+        pb = lb.init(jax.random.key(1), x)
+        # identical trees (names AND values: same init rngs)
+        ja, jb = jax.tree_util.tree_structure(pa), jax.tree_util.tree_structure(pb)
+        assert ja == jb
+        for va, vb in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        ya = la.apply(pa, x)
+        yb = lb.apply(pb, x)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_model_forward_pallas_vs_xla():
+    """Full FBANet forward: fused attention == XLA attention."""
+    model_x, params = init_model(TINY.replace(attention_impl="xla"),
+                                 jax.random.key(0))
+    model_p, _ = init_model(TINY.replace(attention_impl="pallas"),
+                            jax.random.key(0))
+    burst = jax.random.uniform(jax.random.key(5), (1, 2, 16, 16, 3))
+    ya = model_x.apply(params, burst, deterministic=True)
+    yb = model_p.apply(params, burst, deterministic=True)  # same params!
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_model_grads_pallas_vs_xla():
+    model_x, params = init_model(TINY.replace(attention_impl="xla"),
+                                 jax.random.key(0))
+    model_p, _ = init_model(TINY.replace(attention_impl="pallas"),
+                            jax.random.key(0))
+    burst = jax.random.uniform(jax.random.key(5), (1, 2, 16, 16, 3))
+    hr = jax.random.uniform(jax.random.key(6), (1, 64, 64, 3))
+
+    def loss(model):
+        def f(p):
+            out = model.apply(p, burst, deterministic=True)
+            return jnp.mean((out - hr) ** 2)
+        return f
+
+    ga = jax.grad(loss(model_x))(params)
+    gb = jax.grad(loss(model_p))(params)
+    for va, vb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
+                                   atol=1e-5, rtol=1e-3)
+
+
+# ------------------------------------------------------------ fused LeFF ----
+
+def _leff_params(rng, c, ch):
+    k = iter(jax.random.split(jax.random.key(rng), 9))
+    return dict(
+        ln_scale=jax.random.normal(next(k), (c,)) * 0.1 + 1.0,
+        ln_bias=jax.random.normal(next(k), (c,)) * 0.1,
+        w1=jax.random.normal(next(k), (c, ch)) * c ** -0.5,
+        b1=jax.random.normal(next(k), (ch,)) * 0.1,
+        wdw=jax.random.normal(next(k), (3, 3, 1, ch)) * 0.3,
+        bdw=jax.random.normal(next(k), (ch,)) * 0.1,
+        w2=jax.random.normal(next(k), (ch, c)) * ch ** -0.5,
+        b2=jax.random.normal(next(k), (c,)) * 0.1,
+    )
+
+
+@pytest.mark.parametrize("h,w,c", [(16, 16, 16), (8, 24, 32)])
+def test_fused_leff_matches_reference(h, w, c):
+    from fbanet_tpu.ops.leff_pallas import fused_leff, leff_reference
+
+    p = _leff_params(c, c, 4 * c)
+    x = jax.random.normal(jax.random.key(3), (2, h, w, c))
+    ref = leff_reference(x, **p)
+    got = fused_leff(x, **p, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_leff_gradients_match_reference():
+    from fbanet_tpu.ops.leff_pallas import fused_leff, leff_reference
+
+    c = 16
+    p = _leff_params(7, c, 4 * c)
+    x = jax.random.normal(jax.random.key(5), (1, 16, 16, c))
+
+    def lf(fn):
+        def go(x, w1):
+            return jnp.sum(fn(x, **{**p, "w1": w1}) ** 2)
+        return go
+
+    g1 = jax.grad(lf(lambda x, **kw: fused_leff(x, **kw, interpret=True)),
+                  argnums=(0, 1))(x, p["w1"])
+    g2 = jax.grad(lf(leff_reference), argnums=(0, 1))(x, p["w1"])
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
