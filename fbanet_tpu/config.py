@@ -101,9 +101,23 @@ class TrainConfig:
     step_lr_step: int = 50
     step_lr_gamma: float = 0.5
     checkpoint_every: int = 50  # epochs between periodic checkpoints (--checkpoint)
+    # mid-epoch checkpointing: write model_latest with the step position
+    # every N steps (0 = epoch boundaries only). Resume continues the SAME
+    # epoch at that step with the identical sample sequence and rng — the
+    # reference's DALI enable_checkpointing capability
+    # (fba_net/pipeline/real_bsr_iterator.py:34-35).
+    save_every_steps: int = 0
+    # stop after N train steps of the first epoch (testing/smoke hook; the
+    # interrupt checkpoint is written before returning)
+    stop_after_steps: int = 0
     eval_every_epochs: int = 1  # reference evaluates once per epoch (train.py.bak:173)
     gw_loss_weight: float = 3.0  # loss = charbonnier + 3*GWLoss (train.py.bak:168)
     charbonnier_eps: float = 1e-3
+    # MixUp batch augmentation (reference: fba_net/utils/dataset_utils.py:221-236;
+    # present in the codebase but commented out of the published recipe at
+    # train.py.bak:163-164 — default off to match)
+    mixup: bool = False
+    mixup_alpha: float = 1.2
     seed: int = 1234  # reference seeds everything with 1234 (train.py.bak:56-59)
     save_dir: str = "./log"
     env: str = "_"
@@ -164,6 +178,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--save_images", action="store_true", default=False)
     p.add_argument("--env", type=str, default="_")
     p.add_argument("--checkpoint", type=int, default=50)
+    p.add_argument("--save_every_steps", type=int, default=0)
     p.add_argument("--embed_dim", type=int, default=32)
     p.add_argument("--win_size", type=int, default=8)
     p.add_argument("--token_projection", type=str, default="linear")
@@ -174,6 +189,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--online_align", type=str, default="none",
                    choices=["none", "ecc", "flow"])
     p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--mixup", action="store_true", default=False)
     p.add_argument("--warmup", action="store_true", default=False)
     p.add_argument("--warmup_epochs", type=int, default=3)
     p.add_argument("--weights", type=str, default="")
@@ -211,10 +227,12 @@ def from_cli(args: argparse.Namespace) -> Config:
         warmup=args.warmup,
         warmup_epochs=args.warmup_epochs,
         checkpoint_every=args.checkpoint,
+        save_every_steps=args.save_every_steps,
         save_dir=args.save_dir,
         env=args.env,
         arch=args.arch,
         resume=args.resume,
+        mixup=args.mixup,
         pretrain_weights=args.pretrain_weights,
         seed=args.seed,
     )

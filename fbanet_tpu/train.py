@@ -52,13 +52,23 @@ from fbanet_tpu.utils.checkpoint import CheckpointTriad, load_checkpoint
 
 def lr_for_epoch(epoch: int, cfg: TrainConfig, *, start_epoch: int = 1,
                  resumed: bool = False) -> float:
-    """Learning rate for 1-indexed `epoch`, matching the reference schedules.
+    """Learning rate for 1-indexed `epoch`, matching the reference schedules
+    *as executed* (validated against the reference's own torch schedulers in
+    tests/test_reference_golden.py).
 
-    - warmup: lr = base * e / warmup_epochs for e <= warmup_epochs, then
-      cosine over (nepoch - warmup_epochs) down to eta_min
-      (reference: fba_net/train.py.bak:103-110 +
-      fba_net/warmup_scheduler/scheduler.py:24-39),
-    - resume: cosine-only over (nepoch - start_epoch + 1) (:87-100),
+    - warmup (the published recipe): lr = base * e / warmup_epochs for
+      e <= warmup_epochs (fba_net/warmup_scheduler/scheduler.py:24-39), then
+      the GradualWarmupScheduler+CosineAnnealingLR chain with the pre-step
+      quirk (fba_net/train.py.bak:103-110). Because the wrapper calls the
+      cosine's *recursive* get_lr out of phase, the realized schedule is NOT
+      the textbook cosine: telescoping the recursion gives
+          lr(e) = emin + (base-emin) * (1 + cos(pi*(e-W-1)/T)) / (1 + cos(pi/T)),
+      T = nepoch - warmup_epochs — one epoch ~0.85% *above* base at e=W+1,
+      back to base at e=W+2, ending at ~1.85*emin instead of emin.
+    - resume: cosine over (nepoch - start_epoch + 1) from the restored LR
+      (train.py.bak:87-100). (In the reference this scheduler is immediately
+      overwritten by the warmup/StepLR block — a bug per SURVEY.md §7; we
+      implement the intended line-100 behavior.)
     - otherwise StepLR: base * gamma^floor(e / step) — including the
       reference's pre-stepped scheduler, so the decay boundary falls after
       epoch `step` (:111-115).
@@ -66,14 +76,17 @@ def lr_for_epoch(epoch: int, cfg: TrainConfig, *, start_epoch: int = 1,
     base, emin = cfg.lr_initial, cfg.cosine_eta_min
     if resumed:
         t_max = max(1, cfg.nepoch - start_epoch + 1)
-        t = epoch - start_epoch + 1
+        t = epoch - start_epoch  # first resumed epoch trains at the restored LR
         return emin + (base - emin) * (1 + math.cos(math.pi * t / t_max)) / 2
     if cfg.warmup:
         if epoch <= cfg.warmup_epochs:
             return base * epoch / cfg.warmup_epochs
-        t = epoch - cfg.warmup_epochs
+        t = epoch - cfg.warmup_epochs - 1
         t_max = max(1, cfg.nepoch - cfg.warmup_epochs)
-        return emin + (base - emin) * (1 + math.cos(math.pi * t / t_max)) / 2
+        if t_max == 1:  # single post-warmup epoch: 1+cos(pi/T) degenerates
+            return base
+        return emin + (base - emin) * ((1 + math.cos(math.pi * t / t_max))
+                                       / (1 + math.cos(math.pi / t_max)))
     return base * (cfg.step_lr_gamma ** (epoch // cfg.step_lr_step))
 
 
@@ -90,7 +103,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def _set_lr(opt_state, lr):
-    """Functionally set the injected learning_rate hyperparameter."""
+    """Functionally set the injected learning_rate hyperparameter.
+
+    Raises if no `inject_hyperparams` state is found: silently returning the
+    state unchanged would train at the init LR forever with no schedule.
+    """
     def visit(node):
         hp = dict(node.hyperparams)
         hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
@@ -99,7 +116,26 @@ def _set_lr(opt_state, lr):
     if hasattr(opt_state, "hyperparams"):
         return visit(opt_state)
     # chained (e.g. with grad clipping): find the injected state in the tuple
-    return tuple(visit(s) if hasattr(s, "hyperparams") else s for s in opt_state)
+    if isinstance(opt_state, tuple) and any(
+            hasattr(s, "hyperparams") for s in opt_state):
+        return tuple(visit(s) if hasattr(s, "hyperparams") else s
+                     for s in opt_state)
+    raise TypeError(
+        "optimizer state has no inject_hyperparams node to set the learning "
+        "rate on — build the optimizer with optax.inject_hyperparams "
+        "(see make_optimizer)")
+
+
+def mixup(hr: jnp.ndarray, lr_burst: jnp.ndarray, lam: jnp.ndarray,
+          indices: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mix each sample with a permuted partner, one lambda per sample, the
+    same lambda for HR target and LR burst
+    (reference: fba_net/utils/dataset_utils.py:221-236, MixUp_AUG.aug)."""
+    lam_hr = lam.reshape((-1,) + (1,) * (hr.ndim - 1))
+    lam_lr = lam.reshape((-1,) + (1,) * (lr_burst.ndim - 1))
+    hr_mix = lam_hr * hr + (1.0 - lam_hr) * hr[indices]
+    lr_mix = lam_lr * lr_burst + (1.0 - lam_lr) * lr_burst[indices]
+    return hr_mix, lr_mix
 
 
 def make_train_step(model, optimizer, cfg: TrainConfig,
@@ -112,6 +148,12 @@ def make_train_step(model, optimizer, cfg: TrainConfig,
         from fbanet_tpu.ops.registration import online_register
 
     def loss_fn(params, lr_burst, hr, rng):
+        if cfg.mixup:
+            b = lr_burst.shape[0]
+            lam = jax.random.beta(jax.random.fold_in(rng, 1),
+                                  cfg.mixup_alpha, cfg.mixup_alpha, (b,))
+            idx = jax.random.permutation(jax.random.fold_in(rng, 2), b)
+            hr, lr_burst = mixup(hr, lr_burst, lam, idx)
         if online_align != "none":
             lr_burst = online_register(lr_burst, online_align)
         pred = model.apply(params, lr_burst, deterministic=False,
@@ -185,8 +227,10 @@ def train(cfg: Config) -> dict:
             f.write(msg + "\n")
 
     # --- model / optimizer ---
-    rng = jax.random.key(tcfg.seed)
-    rng, init_rng = jax.random.split(rng)
+    # rngs are keyed by (seed, epoch, step) via fold_in — no mutable rng
+    # state, so a mid-epoch resume reproduces the exact dropout/mixup streams
+    base_rng = jax.random.key(tcfg.seed)
+    init_rng = jax.random.fold_in(base_rng, 0)
     model, params = init_model(cfg.model, init_rng, batch_size=1)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     log(f"FBANet created, parameters: {n_params}")
@@ -194,8 +238,9 @@ def train(cfg: Config) -> dict:
     optimizer = make_optimizer(tcfg)
     opt_state = optimizer.init(params)
 
-    # --- resume (reference: train.py.bak:87-100) ---
+    # --- resume (reference: train.py.bak:87-100; plus mid-epoch positions) ---
     start_epoch, best_psnr, resumed = 1, 0.0, False
+    resume_step, resume_loss = 0, 0.0
     triad = CheckpointTriad(model_dir, period=tcfg.checkpoint_every)
     if tcfg.resume:
         src = Path(tcfg.pretrain_weights) if tcfg.pretrain_weights else None
@@ -206,10 +251,22 @@ def train(cfg: Config) -> dict:
             state = load_checkpoint(src, params_template=params,
                                     opt_state_template=opt_state)
             params, opt_state = state["params"], state["opt_state"]
-            start_epoch = state["epoch"] + 1
             best_psnr = state.get("best_psnr", 0.0)
-            resumed = True
-            log(f"==> Resuming from {src} at epoch {start_epoch}")
+            resume_step = int(state.get("step_in_epoch", 0))
+            if resume_step > 0:
+                # continue the interrupted epoch at the saved step
+                start_epoch = state["epoch"]
+                resume_loss = float(state.get("epoch_loss", 0.0))
+                log(f"==> Resuming from {src} mid-epoch {start_epoch} "
+                    f"at step {resume_step}")
+            else:
+                start_epoch = state["epoch"] + 1
+                log(f"==> Resuming from {src} at epoch {start_epoch}")
+            # epoch-granular resume switches to the cosine-only schedule
+            # (reference semantics); a mid-epoch continuation is crash
+            # recovery and must be transparent — keep the original schedule
+            # so the resumed run reproduces the uninterrupted trajectory.
+            resumed = resume_step == 0
 
     # --- data ---
     sharding = batch_sharding(mesh)
@@ -253,14 +310,23 @@ def train(cfg: Config) -> dict:
     for epoch in range(start_epoch, tcfg.nepoch + 1):
         t0 = time.time()
         lr = lr_for_epoch(epoch, tcfg, start_epoch=start_epoch, resumed=resumed)
-        epoch_loss, steps = 0.0, 0
+        start_step = resume_step if epoch == start_epoch else 0
+        epoch_loss = resume_loss if epoch == start_epoch else 0.0
+        steps = start_step
+        epoch_rng = jax.random.fold_in(base_rng, epoch)
         timer = StepTimer(skip_first=1 if epoch == start_epoch else 0)
         profile_ctx = (profiler_trace(tcfg.profile_dir)
                        if tcfg.profile_dir and epoch == start_epoch
                        else contextlib.nullcontext())
+        stopped_early = False
         with profile_ctx:
-            for batch in train_loader.epoch(epoch):
-                rng, step_rng = jax.random.split(rng)
+            batches = iter(train_loader.epoch(epoch, start_step=start_step))
+            while True:
+                with timer.data_wait():  # host starvation vs device time
+                    batch = next(batches, None)
+                if batch is None:
+                    break
+                step_rng = jax.random.fold_in(epoch_rng, steps)
                 with timer.step():
                     params, opt_state, loss = train_step(
                         params, opt_state, batch["LR"], batch["HR"],
@@ -268,6 +334,23 @@ def train(cfg: Config) -> dict:
                     loss = float(loss)
                 epoch_loss += loss
                 steps += 1
+                if tcfg.save_every_steps and steps % tcfg.save_every_steps == 0:
+                    triad.on_step(epoch, steps, epoch_loss, params=params,
+                                  opt_state=opt_state, best_psnr=best_psnr)
+                if tcfg.stop_after_steps and steps >= tcfg.stop_after_steps:
+                    stopped_early = True
+                    batches.close()  # stop the loader's producer thread
+                    break
+        if stopped_early:
+            triad.on_step(epoch, steps, epoch_loss, params=params,
+                          opt_state=opt_state, best_psnr=best_psnr)
+            log(f"==> Stopped after {steps} steps of epoch {epoch} "
+                f"(interrupt checkpoint written)")
+            history.append({"epoch": epoch, "loss": epoch_loss, "psnr": None,
+                            "lr": lr, "steps": steps, "interrupted": True})
+            return {"params": params, "best_psnr": best_psnr,
+                    "best_epoch": best_epoch, "history": history,
+                    "model_dir": str(model_dir)}
 
         # per-epoch eval (reference cadence: eval_now == len(train_loader))
         psnr_val = evaluate_psnr(eval_step, params, val_loader, epoch)

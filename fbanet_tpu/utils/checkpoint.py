@@ -83,6 +83,17 @@ class CheckpointTriad:
         if self.period and epoch % self.period == 0:
             save_checkpoint(self.path(f"model_epoch_{epoch}"), epoch=epoch, **kw)
 
+    def on_step(self, epoch: int, step_in_epoch: int, epoch_loss: float,
+                **kw) -> None:
+        """Mid-epoch checkpoint: model_latest with the step position (resume
+        continues the same epoch at this step — DALI enable_checkpointing
+        parity, reference: fba_net/pipeline/real_bsr_iterator.py:34-35)."""
+        extra = dict(kw.pop("extra", {}) or {})
+        extra.update({"step_in_epoch": int(step_in_epoch),
+                      "epoch_loss": float(epoch_loss)})
+        save_checkpoint(self.path("model_latest"), epoch=epoch, extra=extra,
+                        **kw)
+
     def latest(self) -> Path | None:
         p = self.path("model_latest")
         return p if p.with_suffix(".msgpack").exists() else None

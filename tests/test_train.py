@@ -37,11 +37,16 @@ def test_lr_schedule_warmup_cosine():
     assert math.isclose(lr_for_epoch(1, cfg), 1e-4 / 3)
     assert math.isclose(lr_for_epoch(2, cfg), 2e-4 / 3)
     assert math.isclose(lr_for_epoch(3, cfg), 1e-4)
-    # cosine tail reaches eta_min at nepoch
-    assert math.isclose(lr_for_epoch(203, cfg), 1e-6, rel_tol=1e-6)
-    # monotone decreasing after warmup
+    # the realized reference schedule (see lr_for_epoch docstring): one epoch
+    # slightly above base right after warmup, back to base the next epoch
+    assert 1e-4 < lr_for_epoch(4, cfg) < 1.01e-4
+    assert math.isclose(lr_for_epoch(5, cfg), 1e-4)
+    # tail ends near (about 1.85x) eta_min, not exactly at it
+    assert 1e-6 < lr_for_epoch(203, cfg) < 2.2e-6
+    # monotone decreasing after the post-warmup bump
     lrs = [lr_for_epoch(e, cfg) for e in range(4, 204)]
     assert all(a >= b for a, b in zip(lrs, lrs[1:]))
+    # exact torch parity is asserted in tests/test_reference_golden.py
 
 
 def test_lr_schedule_steplr():
@@ -99,14 +104,71 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
-def test_eval_step_psnr_finite():
+def test_eval_step_psnr_matches_manual():
+    """Eval-step PSNR equals a hand-computed PSNR of the clipped prediction
+    (boundary_ignore=0 so the 64px images keep all pixels)."""
     model, params = init_model(TINY_MODEL, jax.random.key(0))
-    es = make_eval_step(model)
+    es = make_eval_step(model, boundary_ignore=0)
     batch = _tiny_batch()
     vals = np.asarray(es(params, batch["LR"], batch["HR"]))
     assert vals.shape == (2,)
-    # 64px images with boundary_ignore=40 -> NaN is expected & filtered upstream
-    # (SKILL gotcha); just check dtype/shape here.
+    pred = np.clip(np.asarray(
+        model.apply(params, batch["LR"], deterministic=True)), 0.0, 1.0)
+    hr = np.asarray(batch["HR"])
+    for i in range(2):
+        mse = np.mean((pred[i] - hr[i]) ** 2)
+        expect = 20 * np.log10(1.0 / np.sqrt(mse))
+        np.testing.assert_allclose(vals[i], expect, rtol=1e-5)
+
+    # 64px images with the reference's boundary_ignore=40 crop everything ->
+    # NaN, which evaluate_psnr filters (reference: image_utils.py:143)
+    vals40 = np.asarray(make_eval_step(model, boundary_ignore=40)(
+        params, batch["LR"], batch["HR"]))
+    assert vals40.shape == (2,)
+
+
+def test_set_lr_raises_without_injected_state():
+    import optax
+
+    from fbanet_tpu.train import _set_lr
+
+    tx = optax.adam(1e-4)  # no inject_hyperparams
+    state = tx.init({"w": jnp.ones((3,))})
+    with pytest.raises(TypeError, match="inject_hyperparams"):
+        _set_lr(state, 1e-5)
+
+
+def test_mixup_formula():
+    """MixUp mixes HR and LR with the same per-sample lambda against the same
+    permuted partner (reference: fba_net/utils/dataset_utils.py:221-236)."""
+    from fbanet_tpu.train import mixup
+
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.uniform(size=(4, 8, 8, 3)).astype(np.float32))
+    lr = jnp.asarray(rng.uniform(size=(4, 3, 2, 2, 3)).astype(np.float32))
+    lam = jnp.asarray([0.25, 0.5, 0.75, 1.0], jnp.float32)
+    idx = jnp.asarray([1, 0, 3, 2])
+    hr_m, lr_m = mixup(hr, lr, lam, idx)
+    np.testing.assert_allclose(
+        np.asarray(hr_m[0]), 0.25 * np.asarray(hr[0]) + 0.75 * np.asarray(hr[1]),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(lr_m[2]), 0.75 * np.asarray(lr[2]) + 0.25 * np.asarray(lr[3]),
+        rtol=1e-6)
+    # lam=1 -> unchanged
+    np.testing.assert_array_equal(np.asarray(hr_m[3]), np.asarray(hr[3]))
+
+
+def test_train_step_with_mixup_runs():
+    model, params = init_model(TINY_MODEL, jax.random.key(0))
+    cfg = TrainConfig(lr_initial=1e-3, donate_state=False, mixup=True)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg)
+    batch = _tiny_batch()
+    params, opt_state, loss = step(params, opt_state, batch["LR"],
+                                   batch["HR"], jax.random.key(1), 1e-3)
+    assert np.isfinite(float(loss))
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -175,3 +237,42 @@ def test_train_end_to_end_smoke(tiny_dataroot, tmp_path):
     cfg2 = cfg.replace(train=cfg.train.replace(nepoch=3, resume=True))
     out2 = train(cfg2)
     assert out2["history"][0]["epoch"] == 3
+
+
+def test_midepoch_checkpoint_resume_reproduces_trajectory(tiny_dataroot,
+                                                          tmp_path):
+    """Kill-and-resume: stop after 1 of 2 steps, resume mid-epoch, and the
+    final state equals the uninterrupted run bit for bit (same sample order,
+    same rng streams, same LR)."""
+    def cfg_for(save_dir, **train_kw):
+        return Config(
+            model=TINY_MODEL,
+            data=DataConfig(dataroot=str(tiny_dataroot), burst_size=3,
+                            crop_size=16, num_workers=2, eval_workers=2),
+            train=TrainConfig(batch_size=2, nepoch=2, warmup=True,
+                              warmup_epochs=1, lr_initial=1e-3,
+                              checkpoint_every=100, save_dir=str(save_dir),
+                              env="_mid", seed=1234, donate_state=False,
+                              **train_kw),
+        )
+
+    # uninterrupted reference run
+    out_full = train(cfg_for(tmp_path / "full"))
+    # interrupted run: stop 1 step into epoch 1, then resume to completion
+    out_a = train(cfg_for(tmp_path / "kill", stop_after_steps=1))
+    assert out_a["history"][0]["interrupted"]
+    assert out_a["history"][0]["steps"] == 1
+    out_b = train(cfg_for(tmp_path / "kill", resume=True))
+
+    # same epochs trained, same per-epoch losses, identical final params
+    full_hist = {h["epoch"]: h for h in out_full["history"]}
+    resumed_hist = {h["epoch"]: h for h in out_b["history"]}
+    assert set(resumed_hist) == set(full_hist) == {1, 2}
+    for e in (1, 2):
+        assert resumed_hist[e]["steps"] == full_hist[e]["steps"] == 2
+        np.testing.assert_allclose(resumed_hist[e]["loss"],
+                                   full_hist[e]["loss"], rtol=1e-6)
+        np.testing.assert_allclose(resumed_hist[e]["lr"], full_hist[e]["lr"])
+    for a, b in zip(jax.tree.leaves(out_full["params"]),
+                    jax.tree.leaves(out_b["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
