@@ -5,9 +5,15 @@ Pipeline measured per iteration, matching BASELINE.md's north-star:
     -> on-device ECC alignment (translation, 3-level pyramid — the reference's
        batch motion model, fba_net/homography_alignment.py:97-118)
     -> batched warp
-    -> FBANet forward (embed_dim 64, the published configuration)
+    -> FBANet forward (embed_dim 64, the published configuration, fused
+       Pallas window attention)
     -> [B, 640, 640, 3]
 All fused into one jitted program, bf16 compute / f32 params.
+
+Also reported in the same JSON line (VERDICT r1 items 6 and 9):
+  - train_samples_per_sec_chip          (train step, B=8, remat)
+  - train_samples_per_sec_chip_ecc      (train step with in-step ECC align)
+  - loader_bursts_per_sec               (host data pipeline, B=16 x 14x160px)
 
 Baseline for `vs_baseline`: the reference publishes no throughput numbers
 (SURVEY.md §6). We estimate the 2xV100 reference at ~1.0 bursts/sec/GPU
@@ -15,6 +21,15 @@ end-to-end (torch FBANet forward at batch 1 plus its share of the
 multiprocessing OpenCV ECC alignment, which processed 13 frames x 100
 iterations per burst on CPU). vs_baseline = bursts_per_sec_per_chip / 1.0;
 the driver target is >= 10.
+
+Timing methodology: iterations are chained *inside one jitted program*
+(each step's input depends on the previous step's output) and the
+per-iteration time is the slope between two loop lengths. Reasons:
+(a) per-dispatch wall clock includes host->device round-trip latency that a
+production input pipeline overlaps away, and (b) on tunneled TPU backends
+`block_until_ready` can return before device completion, making unchained
+measurements meaningless. The loop count is a *runtime* argument so each
+pipeline compiles once.
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 """
@@ -24,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 import jax
@@ -35,71 +51,167 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_pipeline(frames: int, size: int, embed_dim: int):
+def slope_time(loop_fn, n_lo: int = 3, n_hi: int = 9) -> float:
+    """Per-iteration seconds from the slope between two loop lengths.
+    `loop_fn(n)` must run n chained iterations on device and block."""
+    t0 = time.time()
+    loop_fn(n_lo)  # compile (+ run)
+    log(f"  compile(+run): {time.time() - t0:.1f}s")
+    t0 = time.time()
+    loop_fn(n_lo)
+    t_lo = time.time() - t0
+    t0 = time.time()
+    loop_fn(n_hi)
+    t_hi = time.time() - t0
+    per = (t_hi - t_lo) / (n_hi - n_lo)
+    log(f"  loop times: {t_lo:.3f}s/{n_lo} it, {t_hi:.3f}s/{n_hi} it "
+        f"-> {per * 1e3:.1f} ms/iter")
+    return per
+
+
+def bench_inference(batch: int, frames: int, size: int, embed: int) -> float:
+    """bursts/s/chip for the fused align+SR inference pipeline."""
     from fbanet_tpu.config import ModelConfig
     from fbanet_tpu.models import init_model
     from fbanet_tpu.ops.registration import align_burst
 
-    cfg = ModelConfig(num_frames=frames, img_size=size, embed_dim=embed_dim,
+    cfg = ModelConfig(num_frames=frames, img_size=size, embed_dim=embed,
                       window_size=8, dtype="bfloat16")
     model, params = init_model(cfg, jax.random.key(0))
-
-    def pipeline_one(params, bursts):
-        aligned, _mats, _rhos = align_burst(
-            bursts, motion="translation", levels=3, iters_per_level=10)
-        out = model.apply(params, aligned, deterministic=True)
-        return jnp.clip(out, 0.0, 1.0)
-
-    return pipeline_one, params
-
-
-def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
-    frames = int(os.environ.get("BENCH_FRAMES", "14"))
-    size = int(os.environ.get("BENCH_SIZE", "160"))
-    embed = int(os.environ.get("BENCH_EMBED", "64"))
-
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
     rng = np.random.default_rng(0)
     bursts = jnp.asarray(
         rng.uniform(size=(batch, frames, size, size, 3)).astype(np.float32))
 
-    pipeline_one, params = build_pipeline(frames, size, embed)
+    @jax.jit
+    def loop(params, bursts, n):
+        def body(_i, acc):
+            aligned, _m, _r = align_burst(bursts + acc * 1e-20,
+                                          motion="translation", levels=3,
+                                          iters_per_level=10)
+            out = model.apply(params, aligned, deterministic=True)
+            return jnp.mean(jnp.clip(out, 0.0, 1.0).astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    # Timing methodology: iterations are chained *inside one jitted program*
-    # (each step's input depends on the previous step's output) and the
-    # per-iteration time is the slope between two loop lengths. Reasons:
-    # (a) per-dispatch wall clock includes host->device round-trip latency
-    # that a production input pipeline overlaps away, and (b) on tunneled
-    # TPU backends `block_until_ready` can return before device completion,
-    # making unchained measurements meaningless (observed: "0.4 ms" for a
-    # 400-GFLOP forward). The slope is the honest steady-state number.
-    def timed_loop(n: int) -> float:
-        @jax.jit
-        def loop(params, bursts):
-            def body(_i, acc):
-                out = pipeline_one(params, bursts + acc * 1e-20)
-                return jnp.mean(out.astype(jnp.float32))
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-        t0 = time.time()
-        v = float(loop(params, bursts))  # includes compile on first call
-        compile_and_run = time.time() - t0
-        t0 = time.time()
-        v = float(loop(params, bursts))
+    def run(n):
+        v = float(loop(params, bursts, n))
         assert v == v, "NaN through the pipeline"
-        return time.time() - t0, compile_and_run
 
-    n_lo, n_hi = 3, 9
-    t_lo, c_lo = timed_loop(n_lo)
-    t_hi, c_hi = timed_loop(n_hi)
-    log(f"compile(+run): lo {c_lo:.1f}s hi {c_hi:.1f}s; "
-        f"loop times: {t_lo:.3f}s/{n_lo} it, {t_hi:.3f}s/{n_hi} it")
-    per_iter = (t_hi - t_lo) / (n_hi - n_lo)
-    bursts_per_sec = batch / per_iter
-    log(f"steady-state: {per_iter * 1e3:.1f} ms/iter -> "
-        f"{bursts_per_sec:.3f} bursts/s/chip")
+    log("inference pipeline (align + SR):")
+    per = slope_time(run)
+    return batch / per
+
+
+def bench_train(batch: int, frames: int, size: int, embed: int,
+                online_align: str) -> float:
+    """samples/s/chip for the full train step (fwd+bwd+adamw update)."""
+    from fbanet_tpu.config import ModelConfig, TrainConfig
+    from fbanet_tpu.losses import fbanet_training_loss
+    from fbanet_tpu.models import init_model
+
+    import optax
+
+    if online_align != "none":
+        from fbanet_tpu.ops.registration import online_register
+
+    cfg = ModelConfig(num_frames=frames, img_size=size, embed_dim=embed,
+                      window_size=8, dtype="bfloat16", remat=True)
+    tcfg = TrainConfig()
+    model, params = init_model(cfg, jax.random.key(0))
+    tx = optax.adamw(tcfg.lr_initial, weight_decay=tcfg.weight_decay)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(1)
+    lr_b = jnp.asarray(
+        rng.uniform(size=(batch, frames, size, size, 3)).astype(np.float32))
+    hr = jnp.asarray(
+        rng.uniform(size=(batch, 4 * size, 4 * size, 3)).astype(np.float32))
+
+    def loss_fn(p, x, y):
+        if online_align != "none":
+            x = online_register(x, online_align)
+        pred = model.apply(p, x, deterministic=True)
+        return fbanet_training_loss(pred, y)
+
+    @jax.jit
+    def loop(params, opt_state, x, y, n):
+        def body(_i, carry):
+            p, o, acc = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, x + acc * 1e-20, y)
+            updates, o = tx.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o, loss)
+        _, _, loss = jax.lax.fori_loop(0, n, body,
+                                       (params, opt_state, jnp.float32(0.0)))
+        return loss
+
+    def run(n):
+        v = float(loop(params, opt_state, lr_b, hr, n))
+        assert v == v, "NaN loss"
+
+    log(f"train step (online_align={online_align}):")
+    per = slope_time(run)
+    return batch / per
+
+
+def bench_loader(batch: int, frames: int, size: int) -> float:
+    """Host input-pipeline throughput: bursts/s through BurstLoader (decode +
+    crop + augment + stack + device_put), from a synthetic on-disk tree."""
+    from fbanet_tpu.data.loader import BurstLoader
+    from fbanet_tpu.data.realbsr import RealBSRDataset
+    from fbanet_tpu.data.synthetic import write_synthetic_realbsr
+
+    n_bursts = 2 * batch
+    with tempfile.TemporaryDirectory() as td:
+        write_synthetic_realbsr(td, num_bursts=n_bursts, num_frames=frames,
+                                lr_size=size, splits=("train",))
+        ds = RealBSRDataset(td, split="train", burst_size=frames,
+                            crop_size=size)
+        loader = BurstLoader(ds, batch_size=batch, num_workers=16,
+                             prefetch_depth=2)
+        # warm epoch (thread pool spin-up, page cache)
+        for _ in loader.epoch(0):
+            pass
+        t0 = time.time()
+        n = 0
+        for epoch in range(1, 4):
+            for b in loader.epoch(epoch):
+                n += b["LR"].shape[0]
+        dt = time.time() - t0
+    log(f"loader: {n} bursts in {dt:.2f}s")
+    return n / dt
+
+
+def main() -> None:
+    # batch 8 measured ~21% higher per-burst throughput than batch 4 on v5e
+    # (better MXU/VPU occupancy at the low-channel layers)
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    frames = int(os.environ.get("BENCH_FRAMES", "14"))
+    size = int(os.environ.get("BENCH_SIZE", "160"))
+    embed = int(os.environ.get("BENCH_EMBED", "64"))
+    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+    skip_train = os.environ.get("BENCH_SKIP_TRAIN", "") == "1"
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    bursts_per_sec = bench_inference(batch, frames, size, embed)
+    log(f"inference: {bursts_per_sec:.3f} bursts/s/chip")
+
+    extras = {}
+    try:
+        extras["loader_bursts_per_sec"] = round(
+            bench_loader(16, frames, size), 3)
+    except Exception as e:  # loader bench must never sink the headline
+        log(f"loader bench failed: {e!r}")
+    if not skip_train:
+        try:
+            extras["train_samples_per_sec_chip"] = round(
+                bench_train(train_batch, frames, size, embed, "none"), 3)
+            extras["train_samples_per_sec_chip_ecc"] = round(
+                bench_train(train_batch, frames, size, embed, "ecc"), 3)
+        except Exception as e:
+            log(f"train bench failed: {e!r}")
 
     baseline_bursts_per_sec_per_gpu = 1.0  # estimated, see module docstring
     print(json.dumps({
@@ -107,6 +219,7 @@ def main() -> None:
         "value": round(bursts_per_sec, 3),
         "unit": "14-frame 160px bursts/sec/chip (align+SR, x4 to 640px)",
         "vs_baseline": round(bursts_per_sec / baseline_bursts_per_sec_per_gpu, 3),
+        **extras,
     }))
 
 
