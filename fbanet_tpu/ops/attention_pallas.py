@@ -55,6 +55,7 @@ class _AttnStatic(NamedTuple):
     compute_dtype: str  # "float32" | "bfloat16"
     block_windows: int
     interpret: bool
+    use_pallas_bwd: bool = True
 
 
 def _supported(n: int, c: int, heads: int) -> bool:
@@ -238,6 +239,208 @@ def _pallas_forward(cfg: _AttnStatic, x, ln_scale, ln_bias, wq, bq, wkv, bkv,
     )(*args)
 
 
+# --------------------------------------------------------------------------
+# Backward kernel — windows are independent, so each block recomputes its
+# forward and produces its dx plus partial parameter gradients that
+# accumulate in constant-index output blocks across the sequential grid.
+# --------------------------------------------------------------------------
+
+def _attention_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
+                          wkv_ref, bkv_ref, wproj_ref, bias_ref, *rest,
+                          heads: int, n: int, c: int, gb: int,
+                          has_mask: bool, compute_dtype: str) -> None:
+    if has_mask:
+        mask_ref = rest[0]
+        outs_refs = rest[1:]
+    else:
+        outs_refs = rest
+    (dx_ref, dlns_ref, dlnb_ref, dwq_ref, dbq_ref, dwkv_ref, dbkv_ref,
+     dwproj_ref, dbproj_ref, dbias_ref) = outs_refs
+    cdtype = jnp.dtype(compute_dtype)
+    f32 = jnp.float32
+    h, dh = heads, c // heads
+    scale = dh ** -0.5
+    i = pl.program_id(0)
+
+    # --- recompute forward ---
+    xf = x_ref[...].astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = (xf - mu) * inv
+    lns = lns_ref[...].astype(f32)
+    y = (xhat * lns + lnb_ref[...].astype(f32)).astype(cdtype)
+    y2 = y.reshape(gb * n, c)
+    wq = wq_ref[...].astype(cdtype)
+    wkv = wkv_ref[...].astype(cdtype)
+    q2 = (jnp.dot(y2, wq, preferred_element_type=f32)
+          + bq_ref[...].astype(f32)) * scale
+    kv2 = (jnp.dot(y2, wkv, preferred_element_type=f32)
+           + bkv_ref[...].astype(f32))
+    q2c = q2.astype(cdtype)
+    kv2c = kv2.astype(cdtype)
+
+    dn_qk = (((2,), (2,)), ((0,), (0,)))   # [gb,n,dh] x [gb,n,dh] -> [gb,n,n]
+    dn_av = (((2,), (1,)), ((0,), (0,)))   # [gb,n,n] x [gb,n,dh] -> [gb,n,dh]
+    dn_t = (((1,), (1,)), ((0,), (0,)))    # contract the out-token dim
+
+    g2 = g_ref[...].astype(cdtype).reshape(gb * n, c)
+    wproj = wproj_ref[...].astype(cdtype)
+    do2 = jnp.dot(g2, wproj.T, preferred_element_type=f32)  # [gb*n, C]
+
+    probs = []
+    o_heads = []
+    dq_heads = []
+    dk_heads = []
+    dv_heads = []
+    dbias_new = []
+    for hi in range(h):
+        qh = q2c[:, hi * dh:(hi + 1) * dh].reshape(gb, n, dh)
+        kh = kv2c[:, hi * dh:(hi + 1) * dh].reshape(gb, n, dh)
+        vh = kv2c[:, c + hi * dh:c + (hi + 1) * dh].reshape(gb, n, dh)
+        logits = jax.lax.dot_general(qh, kh, dimension_numbers=dn_qk,
+                                     preferred_element_type=f32)
+        logits = logits + bias_ref[hi][None]
+        if has_mask:
+            logits = logits + mask_ref[...]
+        p = jax.nn.softmax(logits, axis=-1)  # f32
+        pc = p.astype(cdtype)
+        oh = jax.lax.dot_general(pc, vh, dimension_numbers=dn_av,
+                                 preferred_element_type=f32)
+        probs.append(p)
+        o_heads.append(oh.astype(cdtype).reshape(gb * n, dh))
+
+        doh = do2[:, hi * dh:(hi + 1) * dh].astype(cdtype).reshape(gb, n, dh)
+        dp = jax.lax.dot_general(doh, vh, dimension_numbers=dn_qk,
+                                 preferred_element_type=f32)  # [gb,n,n]
+        dvh = jax.lax.dot_general(pc, doh, dimension_numbers=dn_t,
+                                  preferred_element_type=f32)  # [gb,n,dh]
+        dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+        dbias_new.append(jnp.sum(dlogits, axis=0))
+        dlc = dlogits.astype(cdtype)
+        dqh = jax.lax.dot_general(dlc, kh, dimension_numbers=dn_av,
+                                  preferred_element_type=f32)
+        dkh = jax.lax.dot_general(dlc, qh, dimension_numbers=dn_t,
+                                  preferred_element_type=f32)
+        dq_heads.append(dqh.reshape(gb * n, dh))
+        dk_heads.append(dkh.reshape(gb * n, dh))
+        dv_heads.append(dvh.reshape(gb * n, dh))
+
+    o2 = (o_heads[0] if h == 1 else jnp.concatenate(o_heads, axis=-1))
+    dq2 = ((dq_heads[0] if h == 1 else jnp.concatenate(dq_heads, axis=-1))
+           * scale)  # gradient of (y2@Wq + bq), f32
+    dkv2 = jnp.concatenate(
+        [dk_heads[0] if h == 1 else jnp.concatenate(dk_heads, axis=-1),
+         dv_heads[0] if h == 1 else jnp.concatenate(dv_heads, axis=-1)],
+        axis=-1)  # [gb*n, 2C] f32
+
+    dq2c = dq2.astype(cdtype)
+    dkv2c = dkv2.astype(cdtype)
+    dy2 = (jnp.dot(dq2c, wq.T, preferred_element_type=f32)
+           + jnp.dot(dkv2c, wkv.T, preferred_element_type=f32))
+    dy = dy2.reshape(gb, n, c)
+
+    # LayerNorm backward
+    dxh = dy * lns
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    dx = inv * (dxh - m1 - xhat * m2)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        for r in (dlns_ref, dlnb_ref, dwq_ref, dbq_ref, dwkv_ref, dbkv_ref,
+                  dwproj_ref, dbproj_ref, dbias_ref):
+            r[...] = jnp.zeros_like(r)
+
+    rowsum = lambda a2: jnp.sum(a2, axis=0, keepdims=True)  # noqa: E731
+    dlns_ref[...] += rowsum((dy * xhat).reshape(gb * n, c))
+    dlnb_ref[...] += rowsum(dy.reshape(gb * n, c))
+    dwq_ref[...] += jnp.dot(y2.T, dq2c, preferred_element_type=f32)
+    dbq_ref[...] += rowsum(dq2)
+    dwkv_ref[...] += jnp.dot(y2.T, dkv2c, preferred_element_type=f32)
+    dbkv_ref[...] += rowsum(dkv2)
+    dwproj_ref[...] += jnp.dot(o2.T, g2.astype(f32),
+                               preferred_element_type=f32)
+    dbproj_ref[...] += rowsum(g2.astype(f32))
+    for hi in range(h):
+        dbias_ref[hi] += dbias_new[hi]
+
+
+def _pallas_backward(cfg: _AttnStatic, x, g, ln_scale, ln_bias, wq, bq, wkv,
+                     bkv, wproj, bias, mask):
+    gsz, n, c = x.shape
+    has_mask = mask is not None
+    h = cfg.heads
+    # the backward holds per-head probability/temporary stacks (~3-4x the
+    # forward's live VMEM), so pick its own, smaller block size (measured:
+    # the forward's block at h=16/c=256 allocates 28 MB in the backward)
+    nw = cfg.windows_per_image if has_mask else gsz
+    gb_limit = nw
+    while gsz % gb_limit != 0:
+        gb_limit -= 1
+    gb = min(cfg.block_windows,
+             pick_block_windows(gb_limit, n, c, vmem_budget=2 * 2**20))
+
+    kernel = functools.partial(
+        _attention_bwd_kernel, heads=h, n=n, c=c, gb=gb, has_mask=has_mask,
+        compute_dtype=cfg.compute_dtype)
+    full2 = lambda *_: (0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((gb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 2 * c), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * c), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, g, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wq,
+            bq.reshape(1, c), wkv, bkv.reshape(1, 2 * c), wproj,
+            bias.astype(jnp.float32)]
+    if has_mask:
+        nwb = cfg.windows_per_image // gb
+        in_specs.append(pl.BlockSpec(
+            (gb, n, n), lambda i, _nwb=nwb: (i % _nwb, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(mask.astype(jnp.float32))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((gsz, n, c), x.dtype),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((c, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((c, 2 * c), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * c), jnp.float32),
+        jax.ShapeDtypeStruct((c, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((h, n, n), jnp.float32),
+    )
+    acc = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out_specs = (
+        pl.BlockSpec((gb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        acc((1, c)), acc((1, c)), acc((c, c)), acc((1, c)),
+        acc((c, 2 * c)), acc((1, 2 * c)), acc((c, c)), acc((1, c)),
+        acc((h, n, n)),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(gsz // gb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+    )(*args)
+    (dx, dlns, dlnb, dwq, dbq, dwkv, dbkv, dwproj, dbproj, dbias) = outs
+    return (dx, dlns.reshape(c), dlnb.reshape(c), dwq, dbq.reshape(c),
+            dwkv, dbkv.reshape(2 * c), dwproj, dbproj.reshape(c), dbias)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused(cfg: _AttnStatic, x, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj,
            bproj, bias, mask):
@@ -250,6 +453,18 @@ def _fused_fwd(cfg, *args):
 
 
 def _fused_bwd(cfg, residuals, g):
+    x, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj, bproj, bias, mask = \
+        residuals
+    if cfg.use_pallas_bwd:
+        (dx, dlns, dlnb, dwq, dbq, dwkv, dbkv, dwproj, dbproj, dbias) = \
+            _pallas_backward(cfg, x, g, ln_scale, ln_bias, wq, bq, wkv, bkv,
+                             wproj, bias, mask)
+        return (dx, dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+                dwq.astype(wq.dtype), dbq.astype(bq.dtype),
+                dwkv.astype(wkv.dtype), dbkv.astype(bkv.dtype),
+                dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype),
+                dbias.astype(bias.dtype),
+                None if mask is None else jnp.zeros_like(mask))
     ref = functools.partial(window_attention_reference, heads=cfg.heads,
                             compute_dtype=jnp.dtype(cfg.compute_dtype))
     _, vjp = jax.vjp(lambda *a: ref(*a), *residuals)

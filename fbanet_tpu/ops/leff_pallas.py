@@ -41,6 +41,7 @@ class _LeffStatic(NamedTuple):
     compute_dtype: str
     rows: int
     interpret: bool
+    use_pallas_bwd: bool = True
 
 
 def leff_reference(x: Array, ln_scale: Array, ln_bias: Array,
@@ -152,6 +153,219 @@ def _pallas_forward(cfg: _LeffStatic, x, ln_scale, ln_bias, w1, b1, wdw, bdw,
       w1, b1.reshape(1, ch), wdw, bdw.reshape(1, ch), w2, b2.reshape(1, c))
 
 
+# --------------------------------------------------------------------------
+# Backward kernel
+#
+# Block locality: dx flows through per-row ops (LayerNorm, dense1) once dh1
+# is known, and dh1 at row r needs dh2g at rows r-1..r+1, which needs h1 at
+# rows r-2..r+2. So with an x halo of +-2 rows and a g halo of +-1 row, each
+# block computes its interior dx completely -- no cross-block scatter.
+# Parameter gradients are summed over interior rows only (each image row is
+# interior to exactly one block) into constant-index output blocks that
+# accumulate across the sequential TPU grid.
+# --------------------------------------------------------------------------
+
+
+def _leff_bwd_kernel(xp_ref, xc_ref, xn_ref, gp_ref, gc_ref, gn_ref, lns_ref,
+                     lnb_ref, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
+                     dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dwdw_ref,
+                     dbdw_ref, dw2_ref, db2_ref, *, rows: int, w: int,
+                     c: int, ch: int, compute_dtype: str) -> None:
+    cdtype = jnp.dtype(compute_dtype)
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    f32 = jnp.float32
+
+    # --- recompute the forward on the strip with a 2-row halo ---
+    x = jnp.concatenate([xp_ref[0, rows - 2:rows], xc_ref[0],
+                         xn_ref[0, 0:2]], axis=0)  # [rows+4, W, C]
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    inv = lax.rsqrt(var + _LN_EPS)
+    xhat = (xf - mu) * inv
+    lns = lns_ref[...].astype(f32)
+    y = (xhat * lns + lnb_ref[...].astype(f32)).astype(cdtype)
+
+    y2 = y.reshape((rows + 4) * w, c)
+    w1 = w1_ref[...].astype(cdtype)
+    z1 = (jnp.dot(y2, w1, preferred_element_type=f32)
+          + b1_ref[...].astype(f32))  # [.., Ch] f32 pre-activation
+    h1 = jax.nn.gelu(z1).reshape(rows + 4, w, ch)
+
+    # rows outside the image contribute zeros to the conv
+    r4 = lax.broadcasted_iota(jnp.int32, (rows + 4, 1, 1), 0)
+    valid4 = ((r4 > 1) | (i > 0)) & ((r4 < rows + 2) | (i < ni - 1))
+    h1 = jnp.where(valid4, h1, 0.0)
+
+    # dwconv pre-activation for rows 1..rows+3 (interior + 1-row halo)
+    h1p = jnp.pad(h1, ((0, 0), (1, 1), (0, 0)))
+    wdw = wdw_ref[...].astype(f32)  # [3, 3, 1, Ch]
+    z2 = jnp.broadcast_to(bdw_ref[...].astype(f32), (rows + 2, w, ch))
+    for ky in range(3):
+        for kx in range(3):
+            z2 = z2 + h1p[ky:ky + rows + 2, kx:kx + w] * wdw[ky, kx, 0]
+    h2 = jax.nn.gelu(z2)  # [rows+2, W, Ch], rows 0..rows+1 = image rows i*S-1..i*S+rows
+
+    # --- incoming gradient with a 1-row halo ---
+    g = jnp.concatenate([gp_ref[0, rows - 1:rows], gc_ref[0],
+                         gn_ref[0, 0:1]], axis=0).astype(cdtype)  # [rows+2, W, C]
+    rg = lax.broadcasted_iota(jnp.int32, (rows + 2, 1, 1), 0)
+    validg = ((rg > 0) | (i > 0)) & ((rg < rows + 1) | (i < ni - 1))
+    g = jnp.where(validg, g, 0.0)
+
+    # dense2 backward
+    g2 = g.reshape((rows + 2) * w, c)
+    w2 = w2_ref[...].astype(cdtype)
+    dh2 = jnp.dot(g2, w2.T, preferred_element_type=f32).reshape(rows + 2, w, ch)
+    _, gelu_vjp2 = jax.vjp(jax.nn.gelu, z2)
+    dz2 = gelu_vjp2(dh2)[0]  # [rows+2, W, Ch] f32
+
+    # interior-only views (rows 1..rows of the +2 layout)
+    g_int = g2.reshape(rows + 2, w, c)[1:rows + 1].reshape(rows * w, c)
+    h2_int = h2[1:rows + 1].reshape(rows * w, ch).astype(cdtype)
+    dz2_int = dz2[1:rows + 1]
+
+    # depthwise backward: dh1 (needs dz2 halo) and tap gradients (interior)
+    dz2p = jnp.pad(dz2_int, ((0, 0), (1, 1), (0, 0)))
+    # dh1[r] = sum_ky wdw[ky] * dz2[r + 1 - ky]; dz2 rows -1..rows are
+    # available in dz2 (offset by 1)
+    dh1 = jnp.zeros((rows, w, ch), f32)
+    dwdw_rows = []
+    h1pad_w = jnp.pad(h1, ((0, 0), (1, 1), (0, 0)))  # [rows+4, W+2, Ch]
+    dz2_pw = jnp.pad(dz2, ((0, 0), (1, 1), (0, 0)))  # hoisted (loop-invariant)
+    for ky in range(3):
+        for kx in range(3):
+            # full-res dz2 slice (with halo) aligned to interior h1 rows:
+            dz2_s = dz2_pw[2 - ky:2 - ky + rows, 2 - kx:2 - kx + w]
+            dh1 = dh1 + dz2_s * wdw[ky, kx, 0]
+            # dWdw[ky,kx] = sum over interior conv-output rows of
+            # h1[r+ky-1] * dz2[r]  (h1 rows 1+ky..rows+ky in +4 layout)
+            taps = (h1pad_w[1 + ky:1 + ky + rows, kx:kx + w]
+                    * dz2_int)
+            # keep values rank>=2 for Mosaic (no scatter / rank-1 reshapes)
+            dwdw_rows.append(jnp.sum(taps.reshape(rows * w, ch), axis=0,
+                                     keepdims=True))
+    dwdw_acc = jnp.concatenate(dwdw_rows, axis=0)  # [9, Ch]
+
+    # gelu backward through dense1 (interior rows: +4 layout rows 2..rows+1)
+    z1_int = z1.reshape(rows + 4, w, ch)[2:rows + 2].reshape(rows * w, ch)
+    _, gelu_vjp1 = jax.vjp(jax.nn.gelu, z1_int)
+    dz1 = gelu_vjp1(dh1.reshape(rows * w, ch))[0]  # f32
+
+    # dense1 backward
+    y_int = y.reshape(rows + 4, w, c)[2:rows + 2].reshape(rows * w, c)
+    dy = jnp.dot(dz1.astype(cdtype), w1.T,
+                 preferred_element_type=f32).reshape(rows, w, c)
+
+    # LayerNorm backward (interior rows)
+    xhat_i = xhat.reshape(rows + 4, w, c)[2:rows + 2]
+    inv_i = inv.reshape(rows + 4, w, 1)[2:rows + 2]
+    dxh = dy * lns  # [rows, W, C] f32
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat_i, axis=-1, keepdims=True)
+    dx = inv_i * (dxh - m1 - xhat_i * m2)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    # --- parameter gradient accumulation across the whole grid ---
+    @pl.when((bi == 0) & (i == 0))
+    def _init():
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dwdw_ref[...] = jnp.zeros_like(dwdw_ref)
+        dbdw_ref[...] = jnp.zeros_like(dbdw_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    rowsum = lambda a2: jnp.sum(a2, axis=0, keepdims=True)  # noqa: E731
+    dlns_ref[...] += rowsum((dy * xhat_i).reshape(rows * w, c))
+    dlnb_ref[...] += rowsum(dy.reshape(rows * w, c))
+    dw1_ref[...] += jnp.dot(y_int.T, dz1.astype(cdtype),
+                            preferred_element_type=f32)
+    db1_ref[...] += rowsum(dz1)
+    dwdw_ref[...] += dwdw_acc
+    dbdw_ref[...] += rowsum(dz2_int.reshape(rows * w, ch))
+    dw2_ref[...] += jnp.dot(h2_int.T, g_int.astype(f32),
+                            preferred_element_type=f32)
+    db2_ref[...] += rowsum(g_int.astype(f32))
+
+
+def _pick_bwd_rows(h: int, w: int, ch: int) -> int:
+    """Strip height for the backward kernel: it holds ~7 (rows+4, W, Ch) f32
+    buffers live (h1/z1/z2/dz2/dh1 + temporaries), so large hidden widths
+    need shorter strips to stay inside VMEM (measured: rows=8 at W=80,
+    Ch=1024 allocates 28 MB and OOMs the 16 MB budget)."""
+    for r in (8, 4, 2, 1):
+        # 12.5 MB budget: leaves headroom for the x/g input blocks and the
+        # accumulators (measured: a 15 MB budget overshot by 0.4 MB inside
+        # the full train step)
+        if h % r == 0 and (r + 4) * w * ch * 4 * 7.5 <= 12.5 * 2**20:
+            return r
+    return 1
+
+
+def _pallas_backward(cfg: _LeffStatic, x, g, ln_scale, ln_bias, w1, b1, wdw,
+                     bdw, w2):
+    b, h, w, c = x.shape
+    ch = w1.shape[1]
+    rows = min(cfg.rows, _pick_bwd_rows(h, w, ch))
+    ni = h // rows
+
+    kernel = functools.partial(_leff_bwd_kernel, rows=rows, w=w, c=c, ch=ch,
+                               compute_dtype=cfg.compute_dtype)
+    spec = lambda arr_c, off: pl.BlockSpec(  # noqa: E731
+        (1, rows, w, arr_c),
+        lambda bi, ii, _off=off: (bi, jnp.clip(ii + _off, 0, ni - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    full2 = lambda *_: (0, 0)  # noqa: E731
+    in_specs = [
+        spec(c, -1), spec(c, 0), spec(c, 1),   # x blocks
+        spec(c, -1), spec(c, 0), spec(c, 1),   # g blocks
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),    # ln_scale
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),    # ln_bias
+        pl.BlockSpec((c, ch), full2, memory_space=pltpu.VMEM),   # w1
+        pl.BlockSpec((1, ch), full2, memory_space=pltpu.VMEM),   # b1
+        pl.BlockSpec((3, 3, 1, ch), lambda *_: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),                   # wdw
+        pl.BlockSpec((1, ch), full2, memory_space=pltpu.VMEM),   # bdw
+        pl.BlockSpec((ch, c), full2, memory_space=pltpu.VMEM),   # w2
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((b, h, w, c), x.dtype),      # dx
+        jax.ShapeDtypeStruct((1, c), jnp.float32),        # dln_scale
+        jax.ShapeDtypeStruct((1, c), jnp.float32),        # dln_bias
+        jax.ShapeDtypeStruct((c, ch), jnp.float32),       # dw1
+        jax.ShapeDtypeStruct((1, ch), jnp.float32),       # db1
+        jax.ShapeDtypeStruct((9, ch), jnp.float32),       # dwdw
+        jax.ShapeDtypeStruct((1, ch), jnp.float32),       # dbdw
+        jax.ShapeDtypeStruct((ch, c), jnp.float32),       # dw2
+        jax.ShapeDtypeStruct((1, c), jnp.float32),        # db2
+    )
+    acc2 = lambda shape: pl.BlockSpec(shape, lambda bi, ii: (0, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    out_specs = (
+        pl.BlockSpec((1, rows, w, c), lambda bi, ii: (bi, ii, 0, 0),
+                     memory_space=pltpu.VMEM),
+        acc2((1, c)), acc2((1, c)), acc2((c, ch)), acc2((1, ch)),
+        acc2((9, ch)), acc2((1, ch)), acc2((ch, c)), acc2((1, c)),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, ni),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+    )(x, x, x, g, g, g, ln_scale.reshape(1, c), ln_bias.reshape(1, c),
+      w1, b1.reshape(1, ch), wdw, bdw.reshape(1, ch), w2)
+    dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2 = outs
+    return (dx, dlns.reshape(c), dlnb.reshape(c), dw1, db1.reshape(ch),
+            dwdw.reshape(3, 3, 1, ch), dbdw.reshape(ch), dw2, db2.reshape(c))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused(cfg: _LeffStatic, x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2):
     return _pallas_forward(cfg, x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2)
@@ -162,6 +376,17 @@ def _fused_fwd(cfg, *args):
 
 
 def _fused_bwd(cfg, residuals, g):
+    x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2 = residuals
+    # the +-2-row halo needs >= 2 rows per strip; shapes whose VMEM budget
+    # forces shorter strips (large W * hidden products) use the XLA vjp
+    fits = _pick_bwd_rows(x.shape[1], x.shape[2], w1.shape[1]) >= 2
+    if cfg.use_pallas_bwd and fits:
+        (dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2) = _pallas_backward(
+            cfg, x, g, ln_scale, ln_bias, w1, b1, wdw, bdw, w2)
+        return (dx, dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+                dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                dwdw.astype(wdw.dtype), dbdw.astype(bdw.dtype),
+                dw2.astype(w2.dtype), db2.astype(b2.dtype))
     ref = functools.partial(leff_reference,
                             compute_dtype=jnp.dtype(cfg.compute_dtype))
     _, vjp = jax.vjp(lambda *a: ref(*a), *residuals)

@@ -209,3 +209,53 @@ def test_fused_leff_gradients_match_reference():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------- Pallas backward kernels ----
+
+@pytest.mark.parametrize("heads,c,masked", [(2, 32, True), (4, 32, False)])
+def test_attention_pallas_backward_all_grads(heads, c, masked):
+    """The hand-written backward kernel matches autodiff through the XLA
+    reference on every input gradient (x + 9 parameters)."""
+    ws, img = 4, 8
+    n, nw = ws * ws, (img // ws) ** 2
+    g = 3 * nw
+    p = _rand_params(heads * 7 + c, c, heads, ws)
+    x = jax.random.normal(jax.random.key(50), (g, n, c))
+    gc = jax.random.normal(jax.random.key(51), (g, n, c))
+    mask = (jnp.asarray(shift_attention_mask(img, img, ws, ws // 2))
+            if masked else None)
+    args = tuple(p.values())
+
+    def loss(fn):
+        return lambda x, *a: jnp.sum(fn(x, *a) * gc)
+
+    f1 = lambda x, *a: fused_window_attention(  # noqa: E731
+        x, *a, mask=mask, heads=heads, windows_per_image=nw, interpret=True)
+    f2 = lambda x, *a: window_attention_reference(  # noqa: E731
+        x, *a, mask=mask, heads=heads)
+    g1 = jax.grad(loss(f1), argnums=tuple(range(10)))(x, *args)
+    g2 = jax.grad(loss(f2), argnums=tuple(range(10)))(x, *args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_leff_pallas_backward_all_grads():
+    from fbanet_tpu.ops.leff_pallas import fused_leff, leff_reference
+
+    c, ch = 16, 64
+    p = _leff_params(21, c, ch)
+    x = jax.random.normal(jax.random.key(52), (2, 16, 24, c))
+    gc = jax.random.normal(jax.random.key(53), (2, 16, 24, c))
+    args = tuple(p.values())
+
+    def loss(fn):
+        return lambda x, *a: jnp.sum(fn(x, *a) * gc)
+
+    g1 = jax.grad(loss(lambda x, *a: fused_leff(x, *a, interpret=True)),
+                  argnums=tuple(range(9)))(x, *args)
+    g2 = jax.grad(loss(leff_reference), argnums=tuple(range(9)))(x, *args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
