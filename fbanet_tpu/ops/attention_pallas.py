@@ -480,15 +480,21 @@ def fused_window_attention(x: Array, ln_scale: Array, ln_bias: Array,
                            mask: Array | None, *, heads: int,
                            windows_per_image: int,
                            compute_dtype=jnp.float32,
-                           interpret: bool | None = None) -> Array:
+                           interpret: bool | None = None,
+                           use_pallas_bwd: bool | None = None) -> Array:
     """Fused norm1 + window attention on `[G, N, C]` windows.
 
     Falls back to the XLA reference automatically for shapes the kernel does
     not support (N not a multiple of 8, head_dim not a multiple of 8).
+    `use_pallas_bwd` defaults to compiled-mode only: interpreting the
+    backward kernel block-by-block on CPU is pathologically slow, and its
+    math is pinned by dedicated tests that opt in explicitly.
     """
     g, n, c = x.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if use_pallas_bwd is None:
+        use_pallas_bwd = not interpret
     if not _supported(n, c, heads):
         return window_attention_reference(
             x, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj, bproj, bias, mask,
@@ -501,6 +507,7 @@ def fused_window_attention(x: Array, ln_scale: Array, ln_bias: Array,
     gb = pick_block_windows(gb_limit, n, c)
     cfg = _AttnStatic(heads=heads, windows_per_image=windows_per_image,
                       compute_dtype=jnp.dtype(compute_dtype).name,
-                      block_windows=gb, interpret=bool(interpret))
+                      block_windows=gb, interpret=bool(interpret),
+                      use_pallas_bwd=bool(use_pallas_bwd))
     return _fused(cfg, x, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj, bproj,
                   bias, mask)

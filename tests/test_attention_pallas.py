@@ -231,7 +231,8 @@ def test_attention_pallas_backward_all_grads(heads, c, masked):
         return lambda x, *a: jnp.sum(fn(x, *a) * gc)
 
     f1 = lambda x, *a: fused_window_attention(  # noqa: E731
-        x, *a, mask=mask, heads=heads, windows_per_image=nw, interpret=True)
+        x, *a, mask=mask, heads=heads, windows_per_image=nw, interpret=True,
+        use_pallas_bwd=True)
     f2 = lambda x, *a: window_attention_reference(  # noqa: E731
         x, *a, mask=mask, heads=heads)
     g1 = jax.grad(loss(f1), argnums=tuple(range(10)))(x, *args)
@@ -253,7 +254,8 @@ def test_leff_pallas_backward_all_grads():
     def loss(fn):
         return lambda x, *a: jnp.sum(fn(x, *a) * gc)
 
-    g1 = jax.grad(loss(lambda x, *a: fused_leff(x, *a, interpret=True)),
+    g1 = jax.grad(loss(lambda x, *a: fused_leff(x, *a, interpret=True,
+                                                use_pallas_bwd=True)),
                   argnums=tuple(range(9)))(x, *args)
     g2 = jax.grad(loss(leff_reference), argnums=tuple(range(9)))(x, *args)
     for a, b in zip(g1, g2):
