@@ -170,7 +170,7 @@ class RealBSRDataset:
 
     def _decode_burst(self, lr_paths: list[Path], hr_path: Path | None
                       ) -> tuple[np.ndarray, np.ndarray | None]:
-        """Decode one burst's LR frames (+ HR frame if present) as uint8.
+        """Decode one burst's LR frames (+ HR frame if present) as f32 [0,1].
 
         Uses the native libpng decode pool (native/burstio.cc — the DALI
         decode-executor replacement) when available: the whole burst decodes
@@ -188,19 +188,24 @@ class RealBSRDataset:
                     probe_hr.shape[:2] if probe_hr is not None else None)
             (lh, lw), hr_dims = self._probe_dims
             try:
-                lr = native_io.decode_files(lr_paths, lh, lw, as_float=False)
+                # fused /255 f32 decode in C++ (GIL-free): the Python-side
+                # uint8->f32 conversion was the loader's throughput ceiling
+                # (numpy holds the GIL, serializing all worker threads)
+                lr = native_io.decode_files(lr_paths, lh, lw, as_float=True)
                 hr = None
                 if hr_path is not None:
                     if hr_dims is None:  # mixed GT/GT-free tree: probe now
                         hr_dims = _decode_png(hr_path).shape[:2]
                         self._probe_dims = ((lh, lw), hr_dims)
                     hr = native_io.decode_files([hr_path], hr_dims[0],
-                                                hr_dims[1], as_float=False)[0]
+                                                hr_dims[1], as_float=True)[0]
                 return lr, hr
             except OSError:
                 pass  # odd-sized or corrupt file: per-file fallback below
-        lr = np.stack([_decode_png(p) for p in lr_paths])
-        return lr, _decode_png(hr_path) if hr_path is not None else None
+        lr = np.stack([_decode_png(p) for p in lr_paths]).astype(np.float32) / 255.0
+        hr = (_decode_png(hr_path).astype(np.float32) / 255.0
+              if hr_path is not None else None)
+        return lr, hr
 
     def load(self, index: int, rng: np.random.Generator | None = None
              ) -> dict[str, np.ndarray | str]:
@@ -244,10 +249,7 @@ class RealBSRDataset:
             if hr is not None:
                 hr = dihedral_transform(hr, t)
 
-        out: dict[str, np.ndarray | str] = {
-            "LR": (lr.astype(np.float32) / 255.0),
-            "burst_name": rec.name,
-        }
+        out: dict[str, np.ndarray | str] = {"LR": lr, "burst_name": rec.name}
         if hr is not None:
-            out["HR"] = hr.astype(np.float32) / 255.0
+            out["HR"] = hr
         return out
