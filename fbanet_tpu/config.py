@@ -61,6 +61,17 @@ class DataConfig:
     burst_size: int = 14
     crop_size: int = 160  # LR patch size (--train_ps)
     scale: int = 4
+    # 3 = RealBSR-RGB (8-bit PNG /255); 4 = RealBSR-RAW packed-Bayer RGGB
+    # (16-bit 4-channel PNG /16383 — the storage format of the reference's
+    # RAW visualization path, fba_net/utils/post_processing_vis.py:104-119;
+    # BASELINE.json configs[3])
+    channels: int = 3
+    # decoded-frame RAM cache (see RealBSRDataset.cache_decoded): decode each
+    # burst once, then assemble samples via the native crop/augment/normalize
+    # pass. On a host with few cores the steady-state loader is otherwise
+    # decode-bound and starves the chip.
+    cache_decoded: bool = True
+    cache_gb: float = 8.0
     seed: int = 0
     num_workers: int = 16
     eval_workers: int = 8
@@ -186,6 +197,12 @@ def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--att_se", action="store_true", default=False)
     p.add_argument("--train_ps", type=int, default=160)
     p.add_argument("--burst_size", type=int, default=14)
+    p.add_argument("--in_channels", type=int, default=3, choices=[3, 4],
+                   help="3 = RealBSR-RGB; 4 = RealBSR-RAW packed Bayer "
+                        "(16-bit PNGs, /16383)")
+    p.add_argument("--no_cache_decoded", action="store_true", default=False,
+                   help="disable the decoded-frame RAM cache")
+    p.add_argument("--cache_gb", type=float, default=8.0)
     p.add_argument("--online_align", type=str, default="none",
                    choices=["none", "ecc", "flow"])
     p.add_argument("--resume", action="store_true", default=False)
@@ -203,6 +220,7 @@ def from_cli(args: argparse.Namespace) -> Config:
     model = ModelConfig(
         num_frames=args.burst_size,
         img_size=args.train_ps,
+        in_channels=args.in_channels,
         embed_dim=args.embed_dim,
         window_size=args.win_size,
         token_projection=args.token_projection,
@@ -215,6 +233,9 @@ def from_cli(args: argparse.Namespace) -> Config:
         online_align=args.online_align,
         burst_size=args.burst_size,
         crop_size=args.train_ps,
+        channels=args.in_channels,
+        cache_decoded=not args.no_cache_decoded,
+        cache_gb=args.cache_gb,
         num_workers=args.train_workers,
         eval_workers=args.eval_workers,
     )

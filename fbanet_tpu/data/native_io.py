@@ -53,7 +53,14 @@ def ensure_built() -> bool:
             lib.burstio_decode_files_f32.restype = ctypes.c_int
             lib.burstio_decode_files_f32.argtypes = (
                 lib.burstio_decode_files.argtypes)
-            assert lib.burstio_version() >= 10
+            lib.burstio_transform_f32.restype = ctypes.c_int
+            lib.burstio_transform_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            assert lib.burstio_version() >= 11
             _lib = lib
             return True
         except Exception as exc:  # missing toolchain/libpng -> fall back
@@ -102,4 +109,31 @@ def decode_files(paths: list[str | Path], height: int, width: int,
         idx, code = divmod(rc, 100)
         raise OSError(f"burstio decode failed (file #{idx}, code {code}): "
                       f"{paths[min(idx, n - 1)]}")
+    return out
+
+
+def transform_f32(src: np.ndarray, sel: list[int], r0: int, c0: int, cs: int,
+                  dihedral: int) -> np.ndarray:
+    """Gather+crop+dihedral+/255 from a decoded uint8 cache in one native pass.
+
+    src: [N, H, W, C] uint8 (C-contiguous); returns [len(sel), cs, cs, C]
+    float32 in [0, 1] — crop window at (r0, c0), then the dihedral transform
+    numbered like `fbanet_tpu.data.realbsr.dihedral_transform`. This is the
+    loader's sample-assembly fast path (the reference dataset's
+    crop+augment+normalize, fba_net/ManualDataset.py.bak:125-148, off the
+    GIL)."""
+    if not ensure_built():
+        raise RuntimeError(f"native burstio unavailable: {_unavailable_reason}")
+    assert src.dtype == np.uint8 and src.ndim == 4 and src.flags.c_contiguous
+    n_src, h, w, c = src.shape
+    n_sel = len(sel)
+    c_sel = (ctypes.c_int * n_sel)(*[int(s) for s in sel])
+    out = np.empty((n_sel, cs, cs, c), np.float32)
+    rc = _lib.burstio_transform_f32(
+        _get_pool(), src.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), c_sel, n_sel, n_src, h, w, c,
+        r0, c0, cs, dihedral)
+    if rc != 0:
+        raise OSError(f"burstio transform failed (code {rc}): "
+                      f"crop ({r0},{c0})+{cs} of {src.shape}, t={dihedral}")
     return out

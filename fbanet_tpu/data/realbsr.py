@@ -52,6 +52,24 @@ def _decode_png(path: Path) -> np.ndarray:
         return np.asarray(Image.open(path).convert("RGB"))
 
 
+def _decode_png_raw(path: Path) -> np.ndarray:
+    """16-bit packed-Bayer PNG -> f32 [H, W, 4] in [0, 1] (/16383).
+
+    The RealBSR-RAW storage format the reference's visualization path reads:
+    a 4-channel 16-bit PNG of the packed RGGB mosaic, normalized by 16383
+    (reference: fba_net/utils/post_processing_vis.py:104-110 —
+    cv2.IMREAD_UNCHANGED then /16383)."""
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise OSError(f"failed to decode {path}")
+    if img.ndim != 3 or img.shape[-1] != 4:
+        raise OSError(f"expected a 4-channel packed-Bayer PNG, got "
+                      f"{img.shape} in {path}")
+    return img.astype(np.float32) / 16383.0
+
+
 def dihedral_transform(img: np.ndarray, idx: int) -> np.ndarray:
     """One of the 8 rotation/flip augmentations, numbered like the
     reference's Augment_RGB_torch.transform{0..7}
@@ -88,15 +106,33 @@ class RealBSRDataset:
     burst_size: int = 14
     crop_size: int = 160  # LR-space patch (--train_ps); 0 = no crop
     scale: int = 4
+    # 3 = RGB 8-bit PNGs (/255); 4 = RealBSR-RAW packed-Bayer RGGB 16-bit
+    # PNGs (/16383, the reference's RAW storage format —
+    # post_processing_vis.py:104-110). Same tree grammar either way.
+    channels: int = 3
     augment: bool = True
     random_frame_subset: bool = True
     seed: int = 0
     shard_id: int = 0
     num_shards: int = 1
+    # Decoded-frame RAM cache: PNG decode runs once per burst (storage dtype,
+    # uint8/uint16); later epochs skip decode entirely and assemble samples
+    # through the native gather+crop+dihedral+normalize pass. This is the
+    # single-core answer to DALI's decode executor (SURVEY.md §2.4 N5/N6):
+    # this host has 1 CPU, so thread scaling cannot hide PNG decode — the
+    # cache removes it from the steady-state path instead. Bounded by
+    # `cache_limit_bytes`; past the cap, bursts decode per epoch as before.
+    cache_decoded: bool = False
+    cache_limit_bytes: int = 8 << 30
 
     records: list[BurstRecord] = field(init=False)
 
     def __post_init__(self) -> None:
+        import threading
+
+        self._cache: dict[int, tuple] = {}
+        self._cache_lock = threading.Lock()
+        self._cache_bytes = 0
         root = Path(self.root)
         self.records = []
         if self.layout == "aligned":
@@ -177,6 +213,13 @@ class RealBSRDataset:
         in one parallel call. Falls back to cv2/PIL per file. Image
         dimensions are probed once and cached.
         """
+        if self.channels == 4:
+            # RAW packed-Bayer: 16-bit decode (cv2, per file; the native
+            # libpng pool is 8-bit RGB only)
+            lr = np.stack([_decode_png_raw(p) for p in lr_paths])
+            hr = _decode_png_raw(hr_path) if hr_path is not None else None
+            return lr, hr
+
         from fbanet_tpu.data import native_io
 
         if native_io.available():
@@ -207,13 +250,68 @@ class RealBSRDataset:
               if hr_path is not None else None)
         return lr, hr
 
+    def _cached_frames(self, index: int) -> tuple[np.ndarray, np.ndarray | None]:
+        """All-frame storage-dtype decode of record `index`, RAM-memoized.
+
+        A concurrent-miss race can decode a burst twice (both results are
+        identical; one wins the cache slot) — cheaper than a per-index lock.
+        """
+        hit = self._cache.get(index)
+        if hit is not None:
+            return hit
+        rec = self.records[index]
+        if self.channels == 4:
+            lr = np.stack([np.asarray(
+                _decode_png_raw(p) * 16383.0 + 0.5, np.uint16)
+                for p in rec.lr_paths])
+            hr = (np.asarray(_decode_png_raw(rec.hr_path) * 16383.0 + 0.5,
+                             np.uint16) if rec.hr_path is not None else None)
+        else:
+            from fbanet_tpu.data import native_io
+
+            lr = hr = None
+            if native_io.available():
+                try:
+                    probe = _decode_png(rec.lr_paths[0])
+                    lr = native_io.decode_files(
+                        rec.lr_paths, *probe.shape[:2], as_float=False)
+                    if rec.hr_path is not None:
+                        hprobe = _decode_png(rec.hr_path)
+                        hr = native_io.decode_files(
+                            [rec.hr_path], *hprobe.shape[:2],
+                            as_float=False)[0]
+                except OSError:
+                    lr = None
+            if lr is None:
+                lr = np.stack([_decode_png(p) for p in rec.lr_paths])
+                hr = (_decode_png(rec.hr_path)
+                      if rec.hr_path is not None else None)
+        entry = (lr, hr)
+        nbytes = lr.nbytes + (hr.nbytes if hr is not None else 0)
+        with self._cache_lock:
+            if self._cache_bytes + nbytes <= self.cache_limit_bytes:
+                if index not in self._cache:
+                    self._cache[index] = entry
+                    self._cache_bytes += nbytes
+        return entry
+
+    def _storage_to_f32(self, arr: np.ndarray) -> np.ndarray:
+        scale = np.float32(1.0 / 16383.0 if self.channels == 4
+                           else 1.0 / 255.0)
+        return arr.astype(np.float32) * scale
+
     def load(self, index: int, rng: np.random.Generator | None = None
              ) -> dict[str, np.ndarray | str]:
         """Decode, frame-subset, crop and augment one burst.
 
-        Returns {'LR': [F,h,w,3] f32 [0,1], 'HR': [H,W,3] f32, 'burst_name'};
+        Returns {'LR': [F,h,w,C] f32 [0,1], 'HR': [H,W,C] f32, 'burst_name'};
         GT-free test bursts return {'LR', 'burst_name'} only (the reference's
         ManualDatasets_test contract, fba_net/ManualDataset.py.bak:295-408).
+
+        With `cache_decoded`, decode happens once per burst and sample
+        assembly (gather selected frames + crop + dihedral + /255) runs as
+        one native pass — the rng draw order is identical to the uncached
+        path, so (seed, epoch, position)-keyed sample streams match exactly.
         """
         rec = self.records[index]
         rng = rng or np.random.default_rng(self.seed)
@@ -227,27 +325,71 @@ class RealBSRDataset:
         else:
             frame_ids = frame_ids[: self.burst_size]
 
-        lr, hr = self._decode_burst([rec.lr_paths[i] for i in frame_ids],
-                                    rec.hr_path)
-
-        cs = self.crop_size
-        if cs and lr.shape[1] != cs:
-            if self.split == "train":
-                r1 = int(rng.integers(0, lr.shape[1] - cs + 1))
-                c1 = int(rng.integers(0, lr.shape[2] - cs + 1))
-            else:  # deterministic top-left, matching the validation dataset
+        if self.cache_decoded:
+            lr_all, hr_st = self._cached_frames(index)
+            lr_h, lr_w = lr_all.shape[1:3]
+            cs = self.crop_size
+            crop = bool(cs) and lr_h != cs
+            if crop and self.split == "train":
+                r1 = int(rng.integers(0, lr_h - cs + 1))
+                c1 = int(rng.integers(0, lr_w - cs + 1))
+            else:
                 r1 = c1 = 0
-            lr_h = lr.shape[1]
-            lr = lr[:, r1:r1 + cs, c1:c1 + cs]
-            if hr is not None:
-                s = hr.shape[0] // lr_h
-                hr = hr[s * r1:s * (r1 + cs), s * c1:s * (c1 + cs)]
+            cs_eff = cs if crop else lr_h
+            t = (int(rng.integers(0, 8))
+                 if self.augment and self.split == "train" else 0)
 
-        if self.augment and self.split == "train":
-            t = int(rng.integers(0, 8))  # random.getrandbits(3) equivalent
-            lr = dihedral_transform(lr, t)
-            if hr is not None:
-                hr = dihedral_transform(hr, t)
+            from fbanet_tpu.data import native_io
+
+            # native pass needs a square in-bounds window (crop windows are
+            # square; full-frame passthrough needs square frames)
+            native_ok = (self.channels == 3
+                         and r1 + cs_eff <= lr_h and c1 + cs_eff <= lr_w
+                         and (crop or lr_h == lr_w)
+                         and native_io.available())
+            if native_ok:
+                lr = native_io.transform_f32(lr_all, frame_ids, r1, c1,
+                                             cs_eff, t)
+                hr = None
+                if hr_st is not None:
+                    s = hr_st.shape[0] // lr_h
+                    hr = native_io.transform_f32(
+                        hr_st[None], [0], s * r1, s * c1, s * cs_eff, t)[0]
+            else:  # python fallback (RAW u16, non-square, or no native lib)
+                lr = self._storage_to_f32(lr_all[frame_ids])
+                hr = (self._storage_to_f32(hr_st)
+                      if hr_st is not None else None)
+                if crop:
+                    lr = lr[:, r1:r1 + cs, c1:c1 + cs]
+                    if hr is not None:
+                        s = hr.shape[0] // lr_h
+                        hr = hr[s * r1:s * (r1 + cs), s * c1:s * (c1 + cs)]
+                if t:
+                    lr = dihedral_transform(lr, t)
+                    if hr is not None:
+                        hr = dihedral_transform(hr, t)
+        else:
+            lr, hr = self._decode_burst([rec.lr_paths[i] for i in frame_ids],
+                                        rec.hr_path)
+
+            cs = self.crop_size
+            if cs and lr.shape[1] != cs:
+                if self.split == "train":
+                    r1 = int(rng.integers(0, lr.shape[1] - cs + 1))
+                    c1 = int(rng.integers(0, lr.shape[2] - cs + 1))
+                else:  # deterministic top-left, like the validation dataset
+                    r1 = c1 = 0
+                lr_h = lr.shape[1]
+                lr = lr[:, r1:r1 + cs, c1:c1 + cs]
+                if hr is not None:
+                    s = hr.shape[0] // lr_h
+                    hr = hr[s * r1:s * (r1 + cs), s * c1:s * (c1 + cs)]
+
+            if self.augment and self.split == "train":
+                t = int(rng.integers(0, 8))  # random.getrandbits(3) equivalent
+                lr = dihedral_transform(lr, t)
+                if hr is not None:
+                    hr = dihedral_transform(hr, t)
 
         out: dict[str, np.ndarray | str] = {"LR": lr, "burst_name": rec.name}
         if hr is not None:

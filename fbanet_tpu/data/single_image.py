@@ -125,8 +125,15 @@ def bundle_submission(
     Reference: fba_net/utils/bundle_submissions.py (SIDD benchmark
     packaging: srgb results saved as `{idx:04d}_{block:02d}.png` ->
     `{idx:04d}.mat` holding a [1, blocks] object array of uint8 blocks).
+    Written with scipy when available, else the vendored MAT5 writer
+    (fbanet_tpu.utils.mat5) — byte-compatible for this array shape.
     """
-    from scipy import io as sio  # scipy ships with the baked numpy stack
+    try:
+        from scipy import io as sio
+
+        savemat = sio.savemat
+    except ImportError:
+        from fbanet_tpu.utils.mat5 import savemat
 
     result_dir, out_dir = Path(result_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -140,5 +147,5 @@ def bundle_submission(
         blocks = np.empty((1, len(paths)), dtype=object)
         for i, p in enumerate(sorted(paths)):
             blocks[0, i] = _decode_png(p)
-        sio.savemat(out_dir / f"{img_id}.mat", {"results": blocks})
+        savemat(out_dir / f"{img_id}.mat", {"results": blocks})
     return out_dir

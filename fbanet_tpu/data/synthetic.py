@@ -104,14 +104,16 @@ def synthetic_burst(
     max_shift: float = 3.0,
     noise: float = 0.01,
     aligned: bool = True,
+    channels: int = 3,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (lr_burst [F,h,w,3] f32, hr [H,W,3] f32, shifts [F,2] f32).
+    """Returns (lr_burst [F,h,w,C] f32, hr [H,W,C] f32, shifts [F,2] f32).
 
     `aligned=True` mimics the LR_aligned tree (all frames registered to
     frame 0 up to noise); `aligned=False` leaves the shifts in, for driving
-    the registration stack.
+    the registration stack. `channels=4` emits packed-Bayer-shaped data for
+    the RealBSR-RAW variant.
     """
-    hr = smooth_image(rng, lr_size * scale, lr_size * scale)
+    hr = smooth_image(rng, lr_size * scale, lr_size * scale, c=channels)
     lr_ref = _box_downsample(hr, scale)
     frames, shifts = [], []
     for i in range(num_frames):
@@ -146,6 +148,17 @@ def _save_png(path: Path, img01: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+def _save_png16_raw(path: Path, img01: np.ndarray) -> None:
+    """4-channel packed-Bayer f32 [0,1] -> 16-bit PNG scaled by 16383 (the
+    RealBSR-RAW storage format, reference:
+    fba_net/utils/post_processing_vis.py:104-110)."""
+    import cv2
+
+    arr = np.clip(img01 * 16383.0 + 0.5, 0, 16383).astype(np.uint16)
+    if not cv2.imwrite(str(path), arr):
+        raise OSError(f"cv2 failed to write {path}")
+
+
 def write_synthetic_realbsr(
     root: str | Path,
     *,
@@ -157,36 +170,40 @@ def write_synthetic_realbsr(
     layout: str = "aligned",
     splits: tuple[str, ...] = ("train", "test"),
     write_hr: bool = True,
+    channels: int = 3,
 ) -> Path:
     """Write a small synthetic dataset tree in the chosen filename grammar.
 
     `write_hr=False` writes a GT-free tree (LR frames only) — the input shape
     of the reference's any-resolution inference
-    (fba_net/ManualDataset.py.bak:295-408)."""
+    (fba_net/ManualDataset.py.bak:295-408). `channels=4` writes a
+    RealBSR-RAW-style tree of 16-bit packed-Bayer PNGs (/16383)."""
     root = Path(root)
+    save = _save_png16_raw if channels == 4 else _save_png
     rng = np.random.default_rng(seed)
     for split in splits if layout == "aligned" else (None,):
         for b in range(num_bursts):
             lr, hr, _ = synthetic_burst(rng, num_frames=num_frames,
-                                        lr_size=lr_size, scale=scale)
+                                        lr_size=lr_size, scale=scale,
+                                        channels=channels)
             scene, patch = b % 1000, b
             burst_name = f"{scene:03d}_{patch}"
             if layout == "aligned":
                 lr_dir = root / split / "LR_aligned" / burst_name
                 lr_dir.mkdir(parents=True, exist_ok=True)
                 for f in range(num_frames):
-                    _save_png(lr_dir / f"{scene:03d}_MFSR_Sony_{patch:04d}_x1_{f:02d}.png",
+                    save(lr_dir / f"{scene:03d}_MFSR_Sony_{patch:04d}_x1_{f:02d}.png",
                               lr[f])
                 if write_hr:
                     hr_dir = root / split / "HR" / burst_name
                     hr_dir.mkdir(parents=True, exist_ok=True)
-                    _save_png(hr_dir / f"{scene:03d}_MFSR_Sony_{patch:04d}_x4.png", hr)
+                    save(hr_dir / f"{scene:03d}_MFSR_Sony_{patch:04d}_x4.png", hr)
             else:
                 d = root / burst_name
                 d.mkdir(parents=True, exist_ok=True)
                 for f in range(num_frames):
-                    _save_png(d / f"{scene:03d}_MFSR_Sony_{patch:04d}_x{scale}_{f:02d}.png",
+                    save(d / f"{scene:03d}_MFSR_Sony_{patch:04d}_x{scale}_{f:02d}.png",
                               lr[f])
                 if write_hr:
-                    _save_png(d / f"{scene:03d}_MFSR_Sony_{patch:04d}_x{scale}warp.png", hr)
+                    save(d / f"{scene:03d}_MFSR_Sony_{patch:04d}_x{scale}warp.png", hr)
     return root

@@ -7,8 +7,9 @@ crop, optional PNG dumps.
 
 Averaging: the reference divides summed PSNR by the dataset length but SSIM/
 LPIPS by the loader length (test.py:86-90) — a bug when batch_size > 1. Here
-every metric is averaged per image; non-finite per-image values are dropped,
-mirroring image_utils.py:143.
+every metric uses one convention, shared with train.evaluate_psnr via
+`metrics.finite_average`: sum of finite per-image values / total image count
+(the legacy trainer's semantics, train.py.bak:191-193 + image_utils.py:143).
 """
 
 from __future__ import annotations
@@ -57,7 +58,10 @@ def evaluate(cfg: Config, *, save_images: bool = False,
 
     ds = RealBSRDataset(cfg.data.dataroot, split="val", layout=cfg.data.layout,
                         burst_size=cfg.data.burst_size,
-                        crop_size=cfg.data.crop_size, augment=False)
+                        crop_size=cfg.data.crop_size,
+                        channels=cfg.data.channels,
+                        cache_decoded=cfg.data.cache_decoded,
+                        augment=False)
     loader = BurstLoader(ds, batch_size=cfg.eval.batch_size,
                          num_workers=cfg.data.eval_workers, drop_last=False)
 
@@ -77,19 +81,25 @@ def evaluate(cfg: Config, *, save_images: bool = False,
         if save_images:
             from PIL import Image
 
-            arr = np.clip(np.asarray(pred) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            arr = np.asarray(pred)
+            if arr.shape[-1] == 4:  # RAW: visualize via the reference's
+                # post-processing (packed Bayer -> display RGB)
+                from fbanet_tpu.utils.raw import postprocess_raw, to_uint8
+
+                arr = to_uint8(postprocess_raw(arr, return_rgb=True))
+            else:
+                arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
             for img, name in zip(arr, batch["burst_name"]):
                 Image.fromarray(img).save(out_dir / f"{name}.png")
 
-    def finite_mean(vals: list[float]) -> float:
-        a = np.asarray(vals)
-        a = a[np.isfinite(a)]
-        return float(a.mean()) if a.size else float("nan")
+    # one averaging convention shared with train.evaluate_psnr: finite sum /
+    # total count (reference: train.py.bak:191-193 + image_utils.py:143)
+    from fbanet_tpu.metrics import finite_average
 
-    results = {"psnr": finite_mean(psnrs), "ssim": finite_mean(ssims),
+    results = {"psnr": finite_average(psnrs), "ssim": finite_average(ssims),
                "num_images": len(psnrs)}
     if lpipses:
-        results["lpips"] = finite_mean(lpipses)
+        results["lpips"] = finite_average(lpipses)
     line = (f"PSNR: {results['psnr']:.4f}  SSIM: {results['ssim']:.4f}")
     if "lpips" in results:
         line += f"  LPIPS: {results['lpips']:.4f}"

@@ -104,3 +104,26 @@ def ssim(pred: Array, target: Array, *, boundary_ignore: int | None = None,
 def batch_ssim(pred: Array, target: Array, *, boundary_ignore: int | None = 40) -> Array:
     """Mean per-image SSIM over the batch (reference eval: boundary 40)."""
     return jnp.mean(ssim(pred, target, boundary_ignore=boundary_ignore))
+
+
+def finite_average(values, total_count: int | None = None) -> float:
+    """The reference's metric averaging: sum of *finite* per-image values
+    divided by the *total* image count (non-finite images contribute 0).
+
+    This is exactly what the legacy trainer computes: each image goes through
+    `PSNR_class.forward`, which drops nan/inf values and returns 0 for an
+    all-nan input (fba_net/utils/image_utils.py:143-149), and the epoch eval
+    divides the sum by `len_valset` (fba_net/train.py.bak:191-193). Both
+    `train.evaluate_psnr` and `evaluate.evaluate` use this single helper so
+    best-checkpoint selection and the reported metric always agree
+    (tests/test_losses_metrics.py::test_finite_average_paths_agree).
+
+    `values` is any array-like of per-image metric values; `total_count`
+    defaults to `len(values)` (pass it explicitly when accumulating over
+    batches).
+    """
+    import numpy as np
+
+    a = np.asarray(values, dtype=np.float64).reshape(-1)
+    n = len(a) if total_count is None else total_count
+    return float(a[np.isfinite(a)].sum() / max(1, n))

@@ -103,17 +103,22 @@ class FAFBlock(nn.Module):
 
         # --- (b) fusion hourglass ---
         # The reference concatenates all F*C channels then applies a 1x1 conv
-        # (federated_affinity_fusion.py:110-120). Materializing that
-        # [B, H, W, C*F] transpose costs a ~180 MB relayout at the published
+        # (federated_affinity_fusion.py:110-127, rearrange "f h w nf ->
+        # h w (f nf)": frame-major, in-channel index = f*C + c — the same
+        # order torch's cat(dim=1) produces, so the published checkpoint's
+        # feature_fusion.weight is laid out this way). Materializing that
+        # [B, H, W, F*C] transpose costs a ~180 MB relayout at the published
         # size; contracting (F, C) directly in one einsum is the same math on
-        # the same parameters without the relayout. Channel order after
-        # transpose(0,2,3,4,1).reshape is c*F + f, hence the kernel reshape.
+        # the same parameters without the relayout. The kernel's flat
+        # in-channel axis is kept frame-major so the strict name-mapped torch
+        # import (utils/torch_io.py) needs no permutation
+        # (tests/test_torch_io.py::test_feature_fusion_frame_major).
         from fbanet_tpu.models.layers import _ConvParams
 
-        wff, bff = _ConvParams((1, 1), c * f, c, param_dtype=self.param_dtype,
+        wff, bff = _ConvParams((1, 1), f * c, c, param_dtype=self.param_dtype,
                                name="feature_fusion")()
-        wff = wff.reshape(c, f, c).astype(self.dtype)  # [c_in, f, c_out]
-        feat = jnp.einsum("bfhwc,cfo->bhwo", guided.astype(self.dtype), wff)
+        wff = wff.reshape(f, c, c).astype(self.dtype)  # [f, c_in, c_out]
+        feat = jnp.einsum("bfhwc,fco->bhwo", guided.astype(self.dtype), wff)
         feat = feat + bff.astype(self.dtype)
         feat = PReLU(init_alpha=0.1, param_dtype=self.param_dtype,
                      name="feature_fusion_act")(feat)

@@ -25,7 +25,8 @@ Layout notes (Mosaic):
   preferred_element_type=f32.
 - LayerNorm/softmax are computed in f32 regardless of the compute dtype,
   mirroring the flax modules (scale folded into rsqrt *before* the multiply,
-  fast-variance clamped at 0, eps 1e-6).
+  fast-variance clamped at 0, eps 1e-5 — the torch default, for import
+  fidelity with published checkpoints).
 
 Backward: jax.custom_vjp with the forward running the kernel and the
 backward differentiating `window_attention_reference` — identical math, so

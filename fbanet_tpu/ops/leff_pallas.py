@@ -228,7 +228,6 @@ def _leff_bwd_kernel(xp_ref, xc_ref, xn_ref, gp_ref, gc_ref, gn_ref, lns_ref,
     dz2_int = dz2[1:rows + 1]
 
     # depthwise backward: dh1 (needs dz2 halo) and tap gradients (interior)
-    dz2p = jnp.pad(dz2_int, ((0, 0), (1, 1), (0, 0)))
     # dh1[r] = sum_ky wdw[ky] * dz2[r + 1 - ky]; dz2 rows -1..rows are
     # available in dz2 (offset by 1)
     dh1 = jnp.zeros((rows, w, ch), f32)

@@ -159,7 +159,7 @@ def main(argv: list[str] | None = None) -> None:
 
     ds = RealBSRDataset(cfg.data.dataroot, split="test", layout=cfg.data.layout,
                         burst_size=cfg.data.burst_size, crop_size=0,
-                        augment=False)
+                        channels=cfg.data.channels, augment=False)
     out_dir = Path(args.result_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     from PIL import Image
@@ -169,7 +169,16 @@ def main(argv: list[str] | None = None) -> None:
         sr = tiled_forward(apply_fn, sample["LR"], psize=args.psize,
                            overlap=args.overlap, scale=cfg.data.scale,
                            mesh=mesh)
-        arr = np.clip(sr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        if sr.shape[-1] == 4:
+            # RAW output: save the packed prediction (npy) plus a display
+            # RGB rendered through the reference's post-processing
+            # (fba_net/utils/post_processing_vis.py:5-43)
+            from fbanet_tpu.utils.raw import postprocess_raw, to_uint8
+
+            np.save(out_dir / f"{sample['burst_name']}.npy", sr)
+            arr = to_uint8(postprocess_raw(jnp.asarray(sr), return_rgb=True))
+        else:
+            arr = np.clip(sr * 255.0 + 0.5, 0, 255).astype(np.uint8)
         Image.fromarray(arr).save(out_dir / f"{sample['burst_name']}.png")
         print(f"[{i + 1}/{len(ds)}] {sample['burst_name']} -> {arr.shape}")
 

@@ -51,7 +51,8 @@ from fbanet_tpu.utils.checkpoint import CheckpointTriad, load_checkpoint
 
 
 def lr_for_epoch(epoch: int, cfg: TrainConfig, *, start_epoch: int = 1,
-                 resumed: bool = False) -> float:
+                 resumed: bool = False,
+                 resumed_base: float | None = None) -> float:
     """Learning rate for 1-indexed `epoch`, matching the reference schedules
     *as executed* (validated against the reference's own torch schedulers in
     tests/test_reference_golden.py).
@@ -65,16 +66,21 @@ def lr_for_epoch(epoch: int, cfg: TrainConfig, *, start_epoch: int = 1,
           lr(e) = emin + (base-emin) * (1 + cos(pi*(e-W-1)/T)) / (1 + cos(pi/T)),
       T = nepoch - warmup_epochs — one epoch ~0.85% *above* base at e=W+1,
       back to base at e=W+2, ending at ~1.85*emin instead of emin.
-    - resume: cosine over (nepoch - start_epoch + 1) from the restored LR
-      (train.py.bak:87-100). (In the reference this scheduler is immediately
-      overwritten by the warmup/StepLR block — a bug per SURVEY.md §7; we
-      implement the intended line-100 behavior.)
+    - resume: cosine over (nepoch - start_epoch + 1) annealed from the LR the
+      checkpoint's optimizer state was saved with (`resumed_base`, extracted
+      by `_get_lr`); the first resumed epoch trains at that restored LR
+      (train.py.bak:87-100 restores the optimizer and anneals from its lr).
+      (In the reference this scheduler is immediately overwritten by the
+      warmup/StepLR block — a bug per SURVEY.md §7; we implement the intended
+      line-100 behavior.)
     - otherwise StepLR: base * gamma^floor(e / step) — including the
       reference's pre-stepped scheduler, so the decay boundary falls after
       epoch `step` (:111-115).
     """
     base, emin = cfg.lr_initial, cfg.cosine_eta_min
     if resumed:
+        if resumed_base is not None:
+            base = resumed_base
         t_max = max(1, cfg.nepoch - start_epoch + 1)
         t = epoch - start_epoch  # first resumed epoch trains at the restored LR
         return emin + (base - emin) * (1 + math.cos(math.pi * t / t_max)) / 2
@@ -124,6 +130,22 @@ def _set_lr(opt_state, lr):
         "optimizer state has no inject_hyperparams node to set the learning "
         "rate on — build the optimizer with optax.inject_hyperparams "
         "(see make_optimizer)")
+
+
+def _get_lr(opt_state) -> float | None:
+    """Read the injected learning_rate out of an optimizer state (the LR the
+    state was last stepped/saved with), or None if there is no
+    inject_hyperparams node. Used to anneal the resumed-cosine schedule from
+    the checkpointed LR (reference: train.py.bak:87-100)."""
+    # NB: the inject state is itself a NamedTuple — check it before iterating
+    # (mirrors _set_lr's dispatch)
+    if hasattr(opt_state, "hyperparams"):
+        return float(opt_state.hyperparams["learning_rate"])
+    if isinstance(opt_state, tuple):
+        for s in opt_state:
+            if hasattr(s, "hyperparams"):
+                return float(s.hyperparams["learning_rate"])
+    return None
 
 
 def mixup(hr: jnp.ndarray, lr_burst: jnp.ndarray, lam: jnp.ndarray,
@@ -196,14 +218,17 @@ def make_eval_step(model, boundary_ignore: int = 40,
 def evaluate_psnr(eval_step, params, loader: BurstLoader, epoch: int) -> float:
     """Sum of finite per-image PSNRs / dataset size — the reference's
     averaging (batch_PSNR(average=False) summed, / len_valset;
-    fba_net/train.py.bak:191-193 with image_utils.py:143's nan filtering)."""
-    total, count = 0.0, 0
+    fba_net/train.py.bak:191-193 with image_utils.py:143's nan filtering).
+    Shares `metrics.finite_average` with evaluate.py so best-checkpoint
+    selection and the reported eval metric use one convention."""
+    from fbanet_tpu.metrics import finite_average
+
+    vals_all, count = [], 0
     for batch in loader.epoch(epoch):
         vals = np.asarray(eval_step(params, batch["LR"], batch["HR"]))
-        finite = vals[np.isfinite(vals)]
-        total += float(finite.sum())
+        vals_all.append(vals)
         count += len(vals)
-    return total / max(1, count)
+    return finite_average(np.concatenate(vals_all) if vals_all else [], count)
 
 
 def train(cfg: Config) -> dict:
@@ -240,7 +265,7 @@ def train(cfg: Config) -> dict:
 
     # --- resume (reference: train.py.bak:87-100; plus mid-epoch positions) ---
     start_epoch, best_psnr, resumed = 1, 0.0, False
-    resume_step, resume_loss = 0, 0.0
+    resume_step, resume_loss, resumed_lr = 0, 0.0, None
     triad = CheckpointTriad(model_dir, period=tcfg.checkpoint_every)
     if tcfg.resume:
         src = Path(tcfg.pretrain_weights) if tcfg.pretrain_weights else None
@@ -262,11 +287,14 @@ def train(cfg: Config) -> dict:
             else:
                 start_epoch = state["epoch"] + 1
                 log(f"==> Resuming from {src} at epoch {start_epoch}")
-            # epoch-granular resume switches to the cosine-only schedule
+            # epoch-granular resume switches to the cosine-only schedule,
+            # annealed from the LR stored in the checkpointed optimizer state
             # (reference semantics); a mid-epoch continuation is crash
             # recovery and must be transparent — keep the original schedule
             # so the resumed run reproduces the uninterrupted trajectory.
             resumed = resume_step == 0
+            if resumed:
+                resumed_lr = _get_lr(opt_state)
 
     # --- data ---
     sharding = batch_sharding(mesh)
@@ -278,12 +306,16 @@ def train(cfg: Config) -> dict:
     train_ds = RealBSRDataset(
         cfg.data.dataroot, split="train", layout=cfg.data.layout,
         burst_size=cfg.data.burst_size, crop_size=cfg.data.crop_size,
-        scale=cfg.data.scale, seed=cfg.data.seed,
+        scale=cfg.data.scale, channels=cfg.data.channels, seed=cfg.data.seed,
+        cache_decoded=cfg.data.cache_decoded,
+        cache_limit_bytes=int(cfg.data.cache_gb * (1 << 30)),
         shard_id=shard_id, num_shards=num_shards)
     val_ds = RealBSRDataset(
         cfg.data.dataroot, split="val", layout=cfg.data.layout,
         burst_size=cfg.data.burst_size, crop_size=cfg.data.crop_size,
-        scale=cfg.data.scale, seed=cfg.data.seed)
+        scale=cfg.data.scale, channels=cfg.data.channels, seed=cfg.data.seed,
+        cache_decoded=cfg.data.cache_decoded,
+        cache_limit_bytes=int(cfg.data.cache_gb * (1 << 30)))
     train_loader = BurstLoader(train_ds, batch_size=tcfg.batch_size,
                                num_workers=cfg.data.num_workers,
                                prefetch_depth=cfg.data.prefetch_depth,
@@ -309,7 +341,8 @@ def train(cfg: Config) -> dict:
     history = []
     for epoch in range(start_epoch, tcfg.nepoch + 1):
         t0 = time.time()
-        lr = lr_for_epoch(epoch, tcfg, start_epoch=start_epoch, resumed=resumed)
+        lr = lr_for_epoch(epoch, tcfg, start_epoch=start_epoch,
+                          resumed=resumed, resumed_base=resumed_lr)
         start_step = resume_step if epoch == start_epoch else 0
         epoch_loss = resume_loss if epoch == start_epoch else 0.0
         steps = start_step

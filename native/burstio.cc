@@ -18,6 +18,13 @@
 //   burstio_decode_files_f32(handle, n, paths[], out, h, w, c)
 //       same but writes float32 in [0, 1] (fuses the /255 normalization the
 //       training loop needs, reference: fba_net/train.py:82-83).
+//   burstio_transform_f32(handle, src, out, sel[], n_sel, src_h, src_w, c,
+//                         r0, c0, cs, dihedral)
+//       sample-assembly fast path over a decoded uint8 frame cache: gather
+//       the selected frames, crop a cs x cs window at (r0, c0), apply one of
+//       the 8 dihedral transforms and write float32/255 — the whole
+//       crop+augment+normalize step of the reference's training dataset
+//       (fba_net/ManualDataset.py.bak:125-148) in one GIL-free pass.
 //
 // Build: make -C native   (links against the system libpng16/zlib)
 
@@ -232,7 +239,7 @@ int DecodeFilesImpl(ThreadPool* pool, int n, const char** paths, int h, int w,
 
 extern "C" {
 
-int burstio_version() { return 10; }
+int burstio_version() { return 11; }
 
 void* burstio_pool_create(int threads) { return new ThreadPool(threads); }
 
@@ -266,6 +273,72 @@ int burstio_decode_files_f32(void* pool, int n, const char** paths, float* out,
         for (size_t k = 0; k < frame; ++k) dst[k] = tmp[k] * kScale;
         return 0;
       });
+}
+
+// Gather+crop+dihedral+normalize from a decoded uint8 cache.
+//   src: [n_src, src_h, src_w, c] uint8; out: [n_sel, cs, cs, c] float32.
+//   sel[i] selects the source frame; the cs x cs window starts at (r0, c0);
+//   `dihedral` follows fbanet_tpu.data.realbsr.dihedral_transform numbering
+//   (t%4 = #rot90(axes=(-2,-3)), t>=4 adds a row flip). All 8 transforms are
+//   affine index maps out[y][x] = crop[a0+ay*y+ax*x][b0+by*y+bx*x].
+int burstio_transform_f32(void* pool, const uint8_t* src, float* out,
+                          const int* sel, int n_sel, int n_src, int src_h,
+                          int src_w, int c, int r0, int c0, int cs,
+                          int dihedral) {
+  if (r0 < 0 || c0 < 0 || cs <= 0 || r0 + cs > src_h || c0 + cs > src_w)
+    return 1;
+  if (dihedral < 0 || dihedral > 7) return 2;
+  const int N = cs - 1;
+  // {a0, ay, ax, b0, by, bx} per transform (derived from the numpy
+  // rot90/flip composition; pinned by tests/test_native_io.py)
+  static const int kMap[8][6] = {
+      {0, 1, 0, 0, 0, 1},    // t0: identity
+      {0, 0, -1, 0, 1, 0},   // t1: sy=N-x, sx=y  (a0 adjusted below)
+      {0, -1, 0, 0, 0, -1},  // t2: sy=N-y, sx=N-x
+      {0, 0, 1, 0, -1, 0},   // t3: sy=x,   sx=N-y
+      {0, -1, 0, 0, 0, 1},   // t4: sy=N-y, sx=x
+      {0, 0, -1, 0, -1, 0},  // t5: sy=N-x, sx=N-y
+      {0, 1, 0, 0, 0, -1},   // t6: sy=y,   sx=N-x
+      {0, 0, 1, 0, 1, 0},    // t7: sy=x,   sx=y
+  };
+  int a0 = kMap[dihedral][0], ay = kMap[dihedral][1], ax = kMap[dihedral][2];
+  int b0 = kMap[dihedral][3], by = kMap[dihedral][4], bx = kMap[dihedral][5];
+  if (ay < 0 || ax < 0) a0 = N;
+  if (by < 0 || bx < 0) b0 = N;
+
+  std::atomic<int> status{0};
+  Latch latch(n_sel);
+  constexpr float kScale = 1.0f / 255.0f;
+  size_t src_frame = static_cast<size_t>(src_h) * src_w * c;
+  size_t out_frame = static_cast<size_t>(cs) * cs * c;
+  for (int i = 0; i < n_sel; ++i) {
+    static_cast<ThreadPool*>(pool)->Submit([&, i] {
+      int f = sel[i];
+      if (f < 0 || f >= n_src) {
+        int expected = 0;
+        status.compare_exchange_strong(expected, 3 + i * 100);
+        latch.CountDown();
+        return;
+      }
+      const uint8_t* frame = src + f * src_frame;
+      float* dst = out + i * out_frame;
+      for (int y = 0; y < cs; ++y) {
+        int sy_base = a0 + ay * y;
+        int sx_base = b0 + by * y;
+        for (int x = 0; x < cs; ++x) {
+          const uint8_t* px =
+              frame + (static_cast<size_t>(r0 + sy_base + ax * x) * src_w +
+                       (c0 + sx_base + bx * x)) *
+                          c;
+          float* q = dst + (static_cast<size_t>(y) * cs + x) * c;
+          for (int k = 0; k < c; ++k) q[k] = px[k] * kScale;
+        }
+      }
+      latch.CountDown();
+    });
+  }
+  latch.Wait();
+  return status.load();
 }
 
 }  // extern "C"

@@ -123,22 +123,55 @@ def test_generate_patches(paired_root, tmp_path):
 
 
 def test_bundle_submission(tmp_path):
-    pytest.importorskip("scipy")
     from PIL import Image
 
     from fbanet_tpu.data.single_image import bundle_submission
+    from fbanet_tpu.utils.mat5 import loadmat
 
     res = tmp_path / "res"
     res.mkdir()
     rng = np.random.default_rng(5)
+    blocks_written = {}
     for img in range(2):
         for block in range(3):
             a = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            blocks_written[(img, block)] = a
             Image.fromarray(a).save(res / f"{img:04d}_{block:02d}.png")
     out = bundle_submission(res, tmp_path / "mat")
-    from scipy import io as sio
 
     mats = sorted(out.glob("*.mat"))
     assert len(mats) == 2
-    loaded = sio.loadmat(mats[0])["results"]
+    # round-trip through whichever reader is available; the vendored
+    # mat5.loadmat reads both its own output and scipy's
+    loaded = loadmat(mats[0])["results"]
     assert loaded.shape == (1, 3)
+    for block in range(3):
+        np.testing.assert_array_equal(loaded[0, block],
+                                      blocks_written[(0, block)])
+    try:  # cross-check against scipy's parser when the env has it
+        from scipy import io as sio
+    except ImportError:
+        pass
+    else:
+        sp = sio.loadmat(mats[1])["results"]
+        for block in range(3):
+            np.testing.assert_array_equal(sp[0, block],
+                                          blocks_written[(1, block)])
+
+
+def test_mat5_roundtrip_numeric(tmp_path):
+    from fbanet_tpu.utils.mat5 import loadmat, savemat
+
+    rng = np.random.default_rng(0)
+    arrs = {
+        "u8": rng.integers(0, 256, (5, 7, 3), dtype=np.uint8),
+        "f32": rng.normal(size=(4, 6)).astype(np.float32),
+        "f64": rng.normal(size=(3,)),
+        "i32": rng.integers(-5, 5, (2, 2), dtype=np.int32),
+    }
+    savemat(tmp_path / "x.mat", arrs)
+    back = loadmat(tmp_path / "x.mat")
+    np.testing.assert_array_equal(back["u8"], arrs["u8"])
+    np.testing.assert_array_equal(back["f32"], arrs["f32"])
+    np.testing.assert_array_equal(back["f64"], arrs["f64"].reshape(1, -1))
+    np.testing.assert_array_equal(back["i32"], arrs["i32"])

@@ -191,3 +191,73 @@ def test_gtfree_loader_batches(gtfree_root):
     assert len(batches) == 2
     assert batches[0]["LR"].shape == (2, 4, 32, 32, 3)
     assert "HR" not in batches[0]
+
+
+# ------------------------------------------------------ decoded-frame cache --
+
+
+def _sample_pairs(root, *, channels=3, crop=24, split="train"):
+    """Load the same (index, rng) samples through the cached and uncached
+    paths; they must match exactly (identical rng draw order is part of the
+    contract — mid-epoch resume depends on it)."""
+    kw = dict(split=split, burst_size=3, crop_size=crop, channels=channels)
+    ds_plain = RealBSRDataset(root, cache_decoded=False, **kw)
+    ds_cache = RealBSRDataset(root, cache_decoded=True, **kw)
+    for index in range(min(3, len(ds_plain))):
+        for seed in (0, 1):
+            a = ds_plain.load(index, np.random.default_rng((seed, index)))
+            b = ds_cache.load(index, np.random.default_rng((seed, index)))
+            # twice through the cache: second hit must also match
+            b2 = ds_cache.load(index, np.random.default_rng((seed, index)))
+            yield a, b, b2
+
+
+def test_cache_matches_uncached_rgb(aligned_root):
+    n = 0
+    for a, b, b2 in _sample_pairs(aligned_root, crop=24):
+        np.testing.assert_allclose(a["LR"], b["LR"], atol=1e-7)
+        np.testing.assert_allclose(a["HR"], b["HR"], atol=1e-7)
+        np.testing.assert_array_equal(b["LR"], b2["LR"])
+        n += 1
+    assert n == 6
+
+
+def test_cache_matches_uncached_no_crop(aligned_root):
+    """Full-frame (no crop) path: augmentation still applies; native
+    passthrough window covers the whole square frame."""
+    for a, b, _ in _sample_pairs(aligned_root, crop=0):
+        np.testing.assert_allclose(a["LR"], b["LR"], atol=1e-7)
+        np.testing.assert_allclose(a["HR"], b["HR"], atol=1e-7)
+
+
+def test_cache_matches_uncached_val(aligned_root):
+    for a, b, _ in _sample_pairs(aligned_root, crop=24, split="val"):
+        np.testing.assert_allclose(a["LR"], b["LR"], atol=1e-7)
+
+
+def test_cache_limit_zero_disables_storage(aligned_root):
+    ds = RealBSRDataset(aligned_root, split="train", burst_size=3,
+                        crop_size=24, cache_decoded=True,
+                        cache_limit_bytes=0)
+    s = ds.load(0, np.random.default_rng(0))
+    assert s["LR"].shape == (3, 24, 24, 3)
+    assert ds._cache_bytes == 0 and not ds._cache
+
+
+def test_cache_raw_16bit(tmp_path):
+    root = tmp_path / "rawcache"
+    write_synthetic_realbsr(root, num_bursts=2, num_frames=3, lr_size=16,
+                            layout="aligned", channels=4)
+    for a, b, _ in _sample_pairs(root, channels=4, crop=0):
+        np.testing.assert_allclose(a["LR"], b["LR"], atol=1e-4)
+        np.testing.assert_allclose(a["HR"], b["HR"], atol=1e-4)
+
+
+def test_loader_with_cache_deterministic(aligned_root):
+    ds = RealBSRDataset(aligned_root, split="train", burst_size=3,
+                        crop_size=24, cache_decoded=True)
+    loader = BurstLoader(ds, batch_size=2, num_workers=4, seed=7)
+    a = [b["LR"].copy() for b in loader.epoch(3)]
+    b = [b["LR"].copy() for b in loader.epoch(3)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

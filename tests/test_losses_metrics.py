@@ -93,14 +93,79 @@ def test_ssim_decreases_with_noise():
     assert float(metrics.ssim(x, y)[0]) < 0.9
 
 
-def test_ssim_matches_skimage_if_available():
-    skimage = pytest.importorskip("skimage.metrics")
+def test_ssim_matches_independent_oracle():
+    """SSIM vs a windowed NumPy restatement of Wang et al. (Gaussian 11x1.5,
+    valid region, no sample-covariance correction) computed with explicit
+    sliding windows rather than separable convs — an always-runnable oracle
+    (this environment has no skimage; when it does, the optional cross-check
+    below also runs and agrees)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
     rng = np.random.default_rng(5)
     x = rng.uniform(size=(64, 64, 3)).astype(np.float32)
     y = np.clip(x + 0.1 * rng.normal(size=x.shape).astype(np.float32), 0, 1)
-    ref = skimage.structural_similarity(
-        x, y, channel_axis=2, data_range=1.0, gaussian_weights=True,
-        sigma=1.5, use_sample_covariance=False,
-    )
+
+    size, sigma, c1, c2 = 11, 1.5, 0.01**2, 0.03**2
+    g = np.exp(-((np.arange(size) - (size - 1) / 2) ** 2) / (2 * sigma**2))
+    g /= g.sum()
+    w = np.outer(g, g)
+    maps = []
+    for ch in range(3):
+        xw = sliding_window_view(x[:, :, ch].astype(np.float64), (size, size))
+        yw = sliding_window_view(y[:, :, ch].astype(np.float64), (size, size))
+        mx = (xw * w).sum((-2, -1))
+        my = (yw * w).sum((-2, -1))
+        vx = (xw**2 * w).sum((-2, -1)) - mx * mx
+        vy = (yw**2 * w).sum((-2, -1)) - my * my
+        cov = (xw * yw * w).sum((-2, -1)) - mx * my
+        maps.append(((2 * mx * my + c1) * (2 * cov + c2))
+                    / ((mx * mx + my * my + c1) * (vx + vy + c2)))
+    ref = float(np.mean(maps))
+
     got = float(metrics.ssim(jnp.asarray(x)[None], jnp.asarray(y)[None])[0])
-    assert np.isclose(got, ref, atol=2e-3)
+    assert np.isclose(got, ref, atol=1e-4)
+
+    try:
+        from skimage.metrics import structural_similarity
+    except ImportError:
+        pass
+    else:
+        sk = structural_similarity(
+            x, y, channel_axis=2, data_range=1.0, gaussian_weights=True,
+            sigma=1.5, use_sample_covariance=False)
+        assert np.isclose(got, sk, atol=2e-3)
+
+
+def test_finite_average_reference_semantics():
+    """finite_average = sum of finite values / total count (the legacy
+    trainer's nan handling: PSNR_class drops nan/inf per image,
+    image_utils.py:143-149, and the epoch eval divides by len_valset,
+    train.py.bak:191-193)."""
+    assert metrics.finite_average([30.0, float("inf"), 28.0]) == pytest.approx(
+        58.0 / 3)
+    assert metrics.finite_average([30.0, float("nan")], 2) == pytest.approx(15.0)
+    assert metrics.finite_average([], 0) == 0.0
+    # explicit total overrides len (batch accumulation)
+    assert metrics.finite_average([10.0], 4) == pytest.approx(2.5)
+
+
+def test_finite_average_paths_agree():
+    """train.evaluate_psnr and evaluate's accumulation report the SAME number
+    when a batch contains a non-finite per-image PSNR (e.g. an identical
+    pred==gt image -> inf). Regression for the round-2 divergence where
+    best-checkpoint selection and the reported metric used different
+    denominators."""
+    from fbanet_tpu.train import evaluate_psnr
+
+    vals = np.array([30.0, np.inf, 28.0], np.float32)
+
+    class FakeLoader:
+        def epoch(self, epoch, **kw):
+            yield {"LR": None, "HR": None}
+
+    def fake_eval_step(params, lr, hr):
+        return vals
+
+    got_train = evaluate_psnr(fake_eval_step, None, FakeLoader(), 0)
+    got_eval = metrics.finite_average(vals.tolist())
+    assert got_train == pytest.approx(got_eval) == pytest.approx(58.0 / 3)

@@ -97,6 +97,99 @@ def test_prelu_and_layernorm_semantics():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_faf_block_torch_golden():
+    """Full FAF block vs a torch reimplementation of the reference semantics
+    (fba_net/blocks/federated_affinity_fusion.py), weights transferred by the
+    strict name mapping with NO permutation. Pins the feature_fusion conv's
+    frame-major in-channel grouping ("f h w nf -> h w (f nf)", :124-127 —
+    torch cat(dim=1) order): with the previous c-major einsum reshape this
+    test fails, so a published-checkpoint import cannot silently scramble
+    that conv's input channels."""
+    import torch.nn.functional as tF
+
+    from fbanet_tpu.models.blocks import FAFBlock
+
+    f, c, hw = 3, 8, 16
+
+    class _Res(torch.nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.Conv_0 = torch.nn.Conv2d(ch, ch, 3, padding=1)
+            self.Conv_1 = torch.nn.Conv2d(ch, ch, 3, padding=1)
+
+        def forward(self, x):
+            return x + self.Conv_1(tF.relu(self.Conv_0(x)))
+
+    class _Down(torch.nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.Conv_0 = torch.nn.Conv2d(cin, cout, 4, stride=2, padding=1)
+
+        def forward(self, x):
+            return self.Conv_0(x)
+
+    class _Up(torch.nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.ConvTranspose_0 = torch.nn.ConvTranspose2d(cin, cout, 2,
+                                                            stride=2)
+
+        def forward(self, x):
+            return self.ConvTranspose_0(x)
+
+    class TorchFAF(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.temporal_attn0 = torch.nn.Conv2d(c, c, 3, padding=1)
+            self.temporal_attn1 = torch.nn.Conv2d(c, c, 3, padding=1)
+            self.feature_fusion = torch.nn.Conv2d(f * c, c, 1)
+            self.feature_fusion_act = torch.nn.PReLU(1, 0.1)
+            for i in (0, 1):
+                self.add_module(f"res0_{i}", _Res(c))
+                self.add_module(f"res1_{i}", _Res(2 * c))
+                self.add_module(f"res2_{i}", _Res(4 * c))
+                self.add_module(f"res3_{i}", _Res(4 * c))
+                self.add_module(f"res4_{i}", _Res(2 * c))
+            self.down0 = _Down(c, 2 * c)
+            self.down1 = _Down(2 * c, 4 * c)
+            self.up0 = _Up(4 * c, 2 * c)
+            self.up1 = _Up(4 * c, c)
+            self.fusion_tail = torch.nn.Conv2d(2 * c, c, 3, padding=1)
+
+        def forward(self, frames):  # [B, F, C, H, W]
+            b, nf, ch, h, w = frames.shape
+            emb_ref = self.temporal_attn0(frames[:, 0])
+            emb_all = self.temporal_attn1(
+                frames.reshape(b * nf, ch, h, w)).reshape(b, nf, ch, h, w)
+            affinity = (emb_all - emb_ref[:, None]).sum(dim=2)  # [B,F,H,W]
+            gate = torch.sigmoid((affinity[:, 1:] - affinity[:, :1]).abs())
+            guided = torch.cat(
+                [frames[:, :1], frames[:, 1:] * gate[:, :, None]], dim=1)
+            # frame-major channel concat — torch cat(dim=1) order f*C + c
+            feat = self.feature_fusion(guided.reshape(b, nf * ch, h, w))
+            feat = self.feature_fusion_act(feat)
+            f0 = self.res0_1(self.res0_0(feat))
+            f1 = self.res1_1(self.res1_0(self.down0(f0)))
+            f2 = self.res2_1(self.res2_0(self.down1(f1)))
+            f3 = self.res3_1(self.res3_0(torch.cat([self.up0(f2), f1], 1)))
+            f4 = self.res4_1(self.res4_0(torch.cat([self.up1(f3), f0], 1)))
+            return self.fusion_tail(f4) + feat
+
+    blk = FAFBlock(num_feats=c, num_frames=f)
+    x = np.random.default_rng(7).normal(
+        size=(2, f, hw, hw, c)).astype(np.float32) * 0.5
+    params = blk.init(jax.random.key(0), jnp.asarray(x))
+    sd = flax_to_torch_state_dict(params["params"])
+
+    tm = TorchFAF()
+    tm.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+    y_flax = np.asarray(blk.apply(params, jnp.asarray(x)))
+    with torch.no_grad():
+        y_torch = tm(torch.tensor(x.transpose(0, 1, 4, 2, 3)))
+    np.testing.assert_allclose(
+        y_flax, y_torch.numpy().transpose(0, 2, 3, 1), atol=3e-5)
+
+
 # ------------------------------------------------------------- roundtrip ----
 
 TINY = ModelConfig(num_frames=2, img_size=16, embed_dim=8, window_size=4,

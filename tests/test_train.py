@@ -58,6 +58,30 @@ def test_lr_schedule_steplr():
     assert math.isclose(lr_for_epoch(100, cfg), 2.5e-5)
 
 
+def test_lr_schedule_resume_from_restored_lr():
+    """Epoch-granular resume anneals the cosine from the LR saved in the
+    checkpoint's optimizer state (reference: train.py.bak:87-100 restores the
+    optimizer and anneals from its lr), not from lr_initial."""
+    import jax.numpy as jnp
+
+    from fbanet_tpu.train import _get_lr, _set_lr
+
+    cfg = TrainConfig(warmup=True, nepoch=100, lr_initial=1e-4)
+    tx = make_optimizer(cfg)
+    state = tx.init({"w": jnp.zeros((3,))})
+    assert math.isclose(_get_lr(state), 1e-4, rel_tol=1e-6)  # f32 storage
+    state = _set_lr(state, 2.5e-5)
+    assert math.isclose(_get_lr(state), 2.5e-5, rel_tol=1e-6)
+    # first resumed epoch trains at the restored LR
+    lr0 = lr_for_epoch(51, cfg, start_epoch=51, resumed=True,
+                       resumed_base=2.5e-5)
+    assert math.isclose(lr0, 2.5e-5)
+    # ... and anneals to eta_min by the final epoch
+    lr_end = lr_for_epoch(100, cfg, start_epoch=51, resumed=True,
+                          resumed_base=2.5e-5)
+    assert cfg.cosine_eta_min * 0.99 < lr_end < 2.5e-5
+
+
 def test_lr_schedule_resume_cosine_only():
     cfg = TrainConfig(warmup=True, nepoch=100, lr_initial=1e-4)
     lr = lr_for_epoch(60, cfg, start_epoch=51, resumed=True)
