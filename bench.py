@@ -16,11 +16,13 @@ Also reported in the same JSON line (VERDICT r1 items 6 and 9):
   - loader_bursts_per_sec               (host data pipeline, B=16 x 14x160px)
 
 Baseline for `vs_baseline`: the reference publishes no throughput numbers
-(SURVEY.md §6). We estimate the 2xV100 reference at ~1.0 bursts/sec/GPU
-end-to-end (torch FBANet forward at batch 1 plus its share of the
-multiprocessing OpenCV ECC alignment, which processed 13 frames x 100
-iterations per burst on CPU). vs_baseline = bursts_per_sec_per_chip / 1.0;
-the driver target is >= 10.
+(SURVEY.md §6). The denominator is DERIVED FROM A MEASUREMENT of the
+reference's own alignment code — cv2.findTransformECC with its exact
+parameters measures 1.28 s/burst/core (scripts/measure_reference_ecc.py),
+so with the reference's Pool(16) the 2xV100 machine aligns ~12.5 bursts/s,
+well below a generous 166 bursts/s estimate for its GPU forward — giving
+~6.25 bursts/s per GPU end-to-end. Full derivation: BASELINE.md.
+vs_baseline = bursts_per_sec_per_chip / 6.25; the driver target is >= 10.
 
 Timing methodology: iterations are chained *inside one jitted program*
 (each step's input depends on the previous step's output) and the
@@ -224,7 +226,8 @@ def main() -> None:
         except Exception as e:
             log(f"train bench failed: {e!r}")
 
-    baseline_bursts_per_sec_per_gpu = 1.0  # estimated, see module docstring
+    # measured-ECC-derived, see module docstring + BASELINE.md
+    baseline_bursts_per_sec_per_gpu = 6.25
     print(json.dumps({
         "metric": "bursts_per_sec_per_chip_e2e_align_sr",
         "value": round(bursts_per_sec, 3),

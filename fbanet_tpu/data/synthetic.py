@@ -171,6 +171,7 @@ def write_synthetic_realbsr(
     splits: tuple[str, ...] = ("train", "test"),
     write_hr: bool = True,
     channels: int = 3,
+    noise: float = 0.01,
 ) -> Path:
     """Write a small synthetic dataset tree in the chosen filename grammar.
 
@@ -185,7 +186,7 @@ def write_synthetic_realbsr(
         for b in range(num_bursts):
             lr, hr, _ = synthetic_burst(rng, num_frames=num_frames,
                                         lr_size=lr_size, scale=scale,
-                                        channels=channels)
+                                        channels=channels, noise=noise)
             scene, patch = b % 1000, b
             burst_name = f"{scene:03d}_{patch}"
             if layout == "aligned":

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Literal, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -64,6 +65,76 @@ class UpsamplerBlock(nn.Module):
         return x
 
 
+class _UpsamplerParams(nn.Module):
+    """Parameter tree of UpsamplerBlock (conv0/conv1) without its forward —
+    used by the fused tail path, which needs the raw kernels."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> tuple[Array, Array, Array, Array]:
+        from fbanet_tpu.models.layers import _ConvParams
+
+        w0, b0 = _ConvParams((3, 3), self.features, 4 * self.features,
+                             param_dtype=self.param_dtype, name="conv0")()
+        w1, b1 = _ConvParams((3, 3), self.features, 4 * self.features,
+                             param_dtype=self.param_dtype, name="conv1")()
+        return w0, b0, w1, b1
+
+
+def rearrange_after_shuffle(w: Array) -> Array:
+    """Fold a conv3x3 applied AFTER `pixel_shuffle(x, 2)` into an equivalent
+    conv applied BEFORE it: [3, 3, C, Co] -> [3, 3, 4C, 4Co].
+
+    With the torch channel order pixel_shuffle uses (channel = c*4 + dy*2+dx,
+    models/layers.py:637-648), shuffled[2y+dy, 2x+dx, i] =
+    pre[y, x, i*4 + py*2 + px]. Substituting into the conv and collecting
+    taps per output parity gives a 3x3 conv on the pre-shuffle tensor whose
+    out channel o*4 + dy*2 + dx shuffles into position (2y+dy, 2x+dx, o).
+    EXACT (including zero-padding at image borders: every out-of-bounds
+    640-space tap maps to an out-of-bounds 320-space tap). Profiled on v5e:
+    the post-shuffle 640px conv cost 6.7 ms at B=4 (3-channel output forces
+    a padded layout over a 210 MB input); reordered it is 2.4 ms.
+    """
+    _, _, c, co = w.shape
+    wk = jnp.zeros((3, 3, 4 * c, 4 * co), w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            for a in range(-1, 2):
+                for bb in range(-1, 2):
+                    yy, py = divmod(dy + a, 2)
+                    xx, px = divmod(dx + bb, 2)
+                    wk = wk.at[yy + 1, xx + 1, (py * 2 + px)::4,
+                               (dy * 2 + dx)::4].add(w[a + 1, bb + 1])
+    return wk
+
+
+def fused_tail_x4(x: Array, w0: Array, b0: Array, w1: Array, b1: Array,
+                  wt: Array, bt: Array, dtype: Dtype) -> Array:
+    """The model tail — UpsamplerBlock(x4) + final conv to `cout` — with the
+    final conv reordered before the second pixel shuffle (exact; see
+    `rearrange_after_shuffle`). [B, H, W, C] -> [B, 4H, 4W, cout].
+
+    Same parameters/semantics as UpsamplerBlock(scale_pow_two=2) followed by
+    nn.Conv(cout, 3x3) (reference: fba_net/blocks/upsampler.py:13-35 +
+    models/fba_net.py:313-315); pinned by
+    tests/test_model.py::test_fused_tail_matches_naive.
+    """
+    def conv3(y: Array, wk: Array, bk: Array | None) -> Array:
+        dn = jax.lax.conv_dimension_numbers(
+            y.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            y, wk.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn)
+        return out if bk is None else out + bk.astype(dtype)
+
+    y = pixel_shuffle(conv3(x.astype(dtype), w0, b0), 2)   # [B,2H,2W,C]
+    z = conv3(y, w1, b1)                                   # [B,2H,2W,4C]
+    zz = conv3(z, rearrange_after_shuffle(wt), None)       # [B,2H,2W,4*cout]
+    return pixel_shuffle(zz, 2) + bt.astype(dtype)
+
+
 class FAFBlock(nn.Module):
     """Federated Affinity Fusion — the paper's core contribution.
 
@@ -88,18 +159,47 @@ class FAFBlock(nn.Module):
         b, f, h, w, c = frames.shape
         assert f == self.num_frames and c == self.num_feats
 
+        from fbanet_tpu.models.layers import _ConvParams
+
         conv = lambda feats, k, name, **kw: nn.Conv(  # noqa: E731
             feats, (k, k), padding=k // 2, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name, **kw)
 
         # --- (a) affinity gating ---
-        emb_ref = conv(c, 3, "temporal_attn0")(frames[:, 0])  # [B,H,W,C]
-        emb_all = conv(c, 3, "temporal_attn1")(
-            frames.reshape(b * f, h, w, c)).reshape(b, f, h, w, c)
-        affinity = jnp.sum(emb_all - emb_ref[:, None], axis=-1)  # [B,F,H,W]
-        gate = nn.sigmoid(jnp.abs(affinity[:, 1:] - affinity[:, :1]))  # [B,F-1,H,W]
-        guided = jnp.concatenate(
-            [frames[:, :1], frames[:, 1:] * gate[..., None]], axis=1)
+        # The affinity is the CHANNEL SUM of the embedding convs (reference
+        # computes the full [B*F,H,W,C] embeddings then sums,
+        # federated_affinity_fusion.py:67-108). A channel sum of a conv is a
+        # conv with the channel-summed kernel — sum_o (W*x + b)_o =
+        # (sum_o W_o)*x + sum_o b — so the same parameters give the same
+        # affinity at 1/C the FLOPs with no [B*F, H, W, C] embedding tensors
+        # (profiled: the materialized form cost 7.2 ms of the 49 ms forward
+        # at B=4). Gradients are identical (the reduction is linear).
+        wa, ba = _ConvParams((3, 3), c, c, param_dtype=self.param_dtype,
+                             name="temporal_attn0")()
+        wb, bb = _ConvParams((3, 3), c, c, param_dtype=self.param_dtype,
+                             name="temporal_attn1")()
+
+        def conv_sum(x: Array, wk: Array, bsum: Array) -> Array:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x, wk, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
+            return y + bsum.astype(y.dtype)
+
+        xd = frames.astype(self.dtype)
+        wsa = jnp.sum(wa, axis=3, keepdims=True).astype(self.dtype)
+        wsb = jnp.sum(wb, axis=3, keepdims=True).astype(self.dtype)
+        aff_ref = conv_sum(xd[:, 0], wsa, jnp.sum(ba))        # [B,H,W,1]
+        aff_all = conv_sum(xd.reshape(b * f, h, w, c), wsb,
+                           jnp.sum(bb)).reshape(b, f, h, w, 1)
+        affinity = aff_all - aff_ref[:, None]                 # [B,F,H,W,1]
+        delta = jnp.abs(affinity - affinity[:, :1])
+        gate = nn.sigmoid(delta.astype(jnp.float32)).astype(self.dtype)
+        # frame 0 passes through ungated (reference concatenates it back
+        # untouched; sigmoid(0)=0.5 would halve it)
+        fidx = jnp.arange(f).reshape(1, f, 1, 1, 1)
+        gate = jnp.where(fidx == 0, jnp.ones((), gate.dtype), gate)
+        guided = xd * gate
 
         # --- (b) fusion hourglass ---
         # The reference concatenates all F*C channels then applies a 1x1 conv
@@ -113,8 +213,6 @@ class FAFBlock(nn.Module):
         # in-channel axis is kept frame-major so the strict name-mapped torch
         # import (utils/torch_io.py) needs no permutation
         # (tests/test_torch_io.py::test_feature_fusion_frame_major).
-        from fbanet_tpu.models.layers import _ConvParams
-
         wff, bff = _ConvParams((1, 1), f * c, c, param_dtype=self.param_dtype,
                                name="feature_fusion")()
         wff = wff.reshape(f, c, c).astype(self.dtype)  # [f, c_in, c_out]

@@ -21,7 +21,7 @@ import numpy as np
 from flax import linen as nn
 
 from fbanet_tpu.config import ModelConfig
-from fbanet_tpu.models.blocks import FAFBlock, ResBlock, SwinGroup, UpsamplerBlock
+from fbanet_tpu.models.blocks import FAFBlock, ResBlock, SwinGroup
 from fbanet_tpu.models.layers import ConvProj
 from fbanet_tpu.utils import assert_shape
 
@@ -141,15 +141,23 @@ class FBANet(nn.Module):
         y_2 = ConvProj(d, dtype=dtype, param_dtype=pdtype,
                        name="output_proj_2")(deconv1_2)  # 2D -> D
 
-        # tail: x4 upsampler + conv to RGB (reference: :90-93,313-315; §7.4 fix)
-        t = UpsamplerBlock(scale_pow_two=2, features=d, dtype=dtype,
-                           param_dtype=pdtype, name="tail_upsampler")(y_2)
-        # zero-init the residual branch's last conv: the model starts exactly
-        # at the bilinear-base PSNR instead of drowning it in init noise
-        # (an ~19-layer attention stack's variance otherwise reaches std~1.5
-        # at the output; standard practice for residual SR heads)
-        out = nn.Conv(cin, (3, 3), padding=1, dtype=dtype, param_dtype=pdtype,
-                      kernel_init=nn.initializers.zeros, name="tail_conv")(t)
+        # tail: x4 upsampler + conv to RGB (reference: :90-93,313-315; §7.4
+        # fix), computed with the final conv reordered before the second
+        # pixel shuffle — exact same parameters/math, ~4 ms faster at B=4
+        # (see blocks.rearrange_after_shuffle).
+        # The final conv is zero-init: the model starts exactly at the
+        # bilinear-base PSNR instead of drowning it in init noise (an
+        # ~19-layer attention stack's variance otherwise reaches std~1.5 at
+        # the output; standard practice for residual SR heads).
+        from fbanet_tpu.models.blocks import _UpsamplerParams, fused_tail_x4
+        from fbanet_tpu.models.layers import _ConvParams
+
+        w0, b0, w1, b1 = _UpsamplerParams(d, param_dtype=pdtype,
+                                          name="tail_upsampler")()
+        wt, bt = _ConvParams((3, 3), d, cin, param_dtype=pdtype,
+                             kernel_init=nn.initializers.zeros,
+                             name="tail_conv")()
+        out = fused_tail_x4(y_2, w0, b0, w1, b1, wt, bt, dtype)
 
         # + bilinearly upsampled reference frame (reference: :317-321; §7.3 fix:
         # resize only the spatial dims)

@@ -264,11 +264,12 @@ class _ConvParams(nn.Module):
     in_per_group: int
     features: int
     param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self) -> tuple[Array, Array]:
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel", self.kernel_init,
             (*self.kernel_size, self.in_per_group, self.features),
             self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
