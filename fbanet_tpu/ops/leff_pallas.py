@@ -306,6 +306,25 @@ def _pick_bwd_rows(h: int, w: int, ch: int) -> int:
     return 1
 
 
+def _pick_bwd_blocks(h: int, w: int, ch: int) -> tuple[int, int]:
+    """(rows, block_width) for the backward kernel. Prefers full-width row
+    strips (cheapest halo traffic); when the VMEM budget forces rows < 2 —
+    the +-2-row halo needs >= 2 rows per strip — it halves the width and
+    retries with the column-blocked kernel (r2 VERDICT item 5: the two
+    largest decoder shapes, W=160/Ch=512 and W=80/Ch=1024, only fit with
+    column blocking)."""
+    wb = w
+    while wb >= 8:
+        for r in (8, 4, 2):
+            eff_w = wb if wb == w else wb + 4  # column halo when blocked
+            if h % r == 0 and (r + 4) * eff_w * ch * 4 * 7.5 <= 12.5 * 2**20:
+                return r, wb
+        if wb % 2:
+            break
+        wb //= 2
+    return 1, w
+
+
 def _pallas_backward(cfg: _LeffStatic, x, g, ln_scale, ln_bias, w1, b1, wdw,
                      bdw, w2):
     b, h, w, c = x.shape
@@ -365,6 +384,210 @@ def _pallas_backward(cfg: _LeffStatic, x, g, ln_scale, ln_bias, w1, b1, wdw,
             dwdw.reshape(3, 3, 1, ch), dbdw.reshape(ch), dw2, db2.reshape(c))
 
 
+def _leff_bwd2d_kernel(x_refs, g_refs, lns_ref, lnb_ref, w1_ref, b1_ref,
+                       wdw_ref, bdw_ref, w2_ref, dx_ref, dlns_ref, dlnb_ref,
+                       dw1_ref, db1_ref, dwdw_ref, dbdw_ref, dw2_ref, db2_ref,
+                       *, rows: int, wb: int, c: int, ch: int,
+                       compute_dtype: str) -> None:
+    """Column-blocked variant of `_leff_bwd_kernel`: 2-D (row, col) grid with
+    a +-2 halo in BOTH dimensions assembled from the 3x3 neighbor blocks.
+    Same math; used for shapes whose full-width strips cannot hold >= 2 rows
+    in VMEM (the model's decoder layers, W=160/Ch=512 and W=80/Ch=1024)."""
+    cdtype = jnp.dtype(compute_dtype)
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    ni = pl.num_programs(1)
+    nj = pl.num_programs(2)
+    f32 = jnp.float32
+
+    def assemble(refs):
+        """3x3 blocks -> [rows+4, wb+4, C] (+-2 halo both dims)."""
+        slabs = []
+        for oi in range(3):
+            left, mid, right = refs[oi * 3:oi * 3 + 3]
+            slabs.append(jnp.concatenate(
+                [left[0][:, wb - 2:wb], mid[0], right[0][:, 0:2]], axis=1))
+        full = jnp.concatenate(slabs, axis=0)  # [3*rows, wb+4, C]
+        return full[rows - 2:2 * rows + 2]
+
+    def edge_mask(a, halo_r, halo_c):
+        """Zero rows/cols that fall outside the image (conv zero-padding)."""
+        hr = a.shape[0]
+        hc = a.shape[1]
+        r = lax.broadcasted_iota(jnp.int32, (hr, 1, 1), 0)
+        cc = lax.broadcasted_iota(jnp.int32, (1, hc, 1), 1)
+        ok = (((r >= halo_r) | (i > 0))
+              & ((r < hr - halo_r) | (i < ni - 1))
+              & ((cc >= halo_c) | (j > 0))
+              & ((cc < hc - halo_c) | (j < nj - 1)))
+        return jnp.where(ok, a, 0)
+
+    # --- recompute the forward on the block with a 2-cell halo ---
+    x = assemble(x_refs)  # [rows+4, wb+4, C]
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    inv = lax.rsqrt(var + _LN_EPS)
+    xhat = (xf - mu) * inv
+    lns = lns_ref[...].astype(f32)
+    y = (xhat * lns + lnb_ref[...].astype(f32)).astype(cdtype)
+
+    y2 = y.reshape((rows + 4) * (wb + 4), c)
+    w1 = w1_ref[...].astype(cdtype)
+    z1 = (jnp.dot(y2, w1, preferred_element_type=f32)
+          + b1_ref[...].astype(f32))
+    h1 = jax.nn.gelu(z1).reshape(rows + 4, wb + 4, ch)
+    h1 = edge_mask(h1, 2, 2)
+
+    # depthwise pre-activation on interior + 1-cell halo: [rows+2, wb+2, Ch]
+    wdw = wdw_ref[...].astype(f32)
+    z2 = jnp.broadcast_to(bdw_ref[...].astype(f32), (rows + 2, wb + 2, ch))
+    for ky in range(3):
+        for kx in range(3):
+            z2 = z2 + h1[ky:ky + rows + 2, kx:kx + wb + 2] * wdw[ky, kx, 0]
+    h2 = jax.nn.gelu(z2)
+
+    # --- incoming gradient with a 1-cell halo ---
+    g = assemble(g_refs)[1:rows + 3, 1:wb + 3].astype(cdtype)
+    g = edge_mask(g, 1, 1)
+
+    # dense2 backward
+    g2 = g.reshape((rows + 2) * (wb + 2), c)
+    w2 = w2_ref[...].astype(cdtype)
+    dh2 = jnp.dot(g2, w2.T, preferred_element_type=f32).reshape(
+        rows + 2, wb + 2, ch)
+    _, gelu_vjp2 = jax.vjp(jax.nn.gelu, z2)
+    dz2 = gelu_vjp2(dh2)[0]
+
+    g_int = g[1:rows + 1, 1:wb + 1].reshape(rows * wb, c)
+    h2_int = h2[1:rows + 1, 1:wb + 1].reshape(rows * wb, ch).astype(cdtype)
+    dz2_int = dz2[1:rows + 1, 1:wb + 1]
+
+    # depthwise backward (halo available in both dims — no padding needed)
+    dh1 = jnp.zeros((rows, wb, ch), f32)
+    dwdw_rows = []
+    for ky in range(3):
+        for kx in range(3):
+            dh1 = dh1 + dz2[2 - ky:2 - ky + rows,
+                            2 - kx:2 - kx + wb] * wdw[ky, kx, 0]
+            taps = h1[1 + ky:1 + ky + rows, 1 + kx:1 + kx + wb] * dz2_int
+            dwdw_rows.append(jnp.sum(taps.reshape(rows * wb, ch), axis=0,
+                                     keepdims=True))
+    dwdw_acc = jnp.concatenate(dwdw_rows, axis=0)  # [9, Ch]
+
+    # gelu backward through dense1 (interior cells)
+    z1_int = z1.reshape(rows + 4, wb + 4, ch)[2:rows + 2,
+                                              2:wb + 2].reshape(rows * wb, ch)
+    _, gelu_vjp1 = jax.vjp(jax.nn.gelu, z1_int)
+    dz1 = gelu_vjp1(dh1.reshape(rows * wb, ch))[0]
+
+    # dense1 backward
+    y_int = y.reshape(rows + 4, wb + 4, c)[2:rows + 2,
+                                           2:wb + 2].reshape(rows * wb, c)
+    dy = jnp.dot(dz1.astype(cdtype), w1.T,
+                 preferred_element_type=f32).reshape(rows, wb, c)
+
+    # LayerNorm backward (interior cells)
+    xhat_i = xhat.reshape(rows + 4, wb + 4, c)[2:rows + 2, 2:wb + 2]
+    inv_i = inv.reshape(rows + 4, wb + 4, 1)[2:rows + 2, 2:wb + 2]
+    dxh = dy * lns
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat_i, axis=-1, keepdims=True)
+    dx = inv_i * (dxh - m1 - xhat_i * m2)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when((bi == 0) & (i == 0) & (j == 0))
+    def _init():
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dwdw_ref[...] = jnp.zeros_like(dwdw_ref)
+        dbdw_ref[...] = jnp.zeros_like(dbdw_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    rowsum = lambda a2: jnp.sum(a2, axis=0, keepdims=True)  # noqa: E731
+    dlns_ref[...] += rowsum((dy * xhat_i).reshape(rows * wb, c))
+    dlnb_ref[...] += rowsum(dy.reshape(rows * wb, c))
+    dw1_ref[...] += jnp.dot(y_int.T, dz1.astype(cdtype),
+                            preferred_element_type=f32)
+    db1_ref[...] += rowsum(dz1)
+    dwdw_ref[...] += dwdw_acc
+    dbdw_ref[...] += rowsum(dz2_int.reshape(rows * wb, ch))
+    dw2_ref[...] += jnp.dot(h2_int.T, g_int.astype(f32),
+                            preferred_element_type=f32)
+    db2_ref[...] += rowsum(g_int.astype(f32))
+
+
+def _pallas_backward_2d(cfg: _LeffStatic, x, g, ln_scale, ln_bias, w1, b1,
+                        wdw, bdw, w2, rows: int, wb: int):
+    b, h, w, c = x.shape
+    ch = w1.shape[1]
+    ni, nj = h // rows, w // wb
+
+    def kernel(*refs, **kw):
+        x_refs = refs[0:9]
+        g_refs = refs[9:18]
+        rest = refs[18:]
+        return _leff_bwd2d_kernel(x_refs, g_refs, *rest, rows=rows, wb=wb,
+                                  c=c, ch=ch,
+                                  compute_dtype=cfg.compute_dtype)
+
+    def spec(oi, oj):
+        return pl.BlockSpec(
+            (1, rows, wb, c),
+            lambda bi, ii, jj, _oi=oi, _oj=oj: (
+                bi, jnp.clip(ii + _oi, 0, ni - 1),
+                jnp.clip(jj + _oj, 0, nj - 1), 0),
+            memory_space=pltpu.VMEM)
+
+    full2 = lambda *_: (0, 0)  # noqa: E731
+    nine = [spec(oi, oj) for oi in (-1, 0, 1) for oj in (-1, 0, 1)]
+    in_specs = nine + nine + [
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),    # ln_scale
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),    # ln_bias
+        pl.BlockSpec((c, ch), full2, memory_space=pltpu.VMEM),   # w1
+        pl.BlockSpec((1, ch), full2, memory_space=pltpu.VMEM),   # b1
+        pl.BlockSpec((3, 3, 1, ch), lambda *_: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),                   # wdw
+        pl.BlockSpec((1, ch), full2, memory_space=pltpu.VMEM),   # bdw
+        pl.BlockSpec((ch, c), full2, memory_space=pltpu.VMEM),   # w2
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((b, h, w, c), x.dtype),      # dx
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((c, ch), jnp.float32),
+        jax.ShapeDtypeStruct((1, ch), jnp.float32),
+        jax.ShapeDtypeStruct((9, ch), jnp.float32),
+        jax.ShapeDtypeStruct((1, ch), jnp.float32),
+        jax.ShapeDtypeStruct((ch, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+    )
+    acc2 = lambda shape: pl.BlockSpec(shape, lambda bi, ii, jj: (0, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    out_specs = (
+        pl.BlockSpec((1, rows, wb, c), lambda bi, ii, jj: (bi, ii, jj, 0),
+                     memory_space=pltpu.VMEM),
+        acc2((1, c)), acc2((1, c)), acc2((c, ch)), acc2((1, ch)),
+        acc2((9, ch)), acc2((1, ch)), acc2((ch, c)), acc2((1, c)),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, ni, nj),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+    )(*([x] * 9), *([g] * 9), ln_scale.reshape(1, c), ln_bias.reshape(1, c),
+      w1, b1.reshape(1, ch), wdw, bdw.reshape(1, ch), w2)
+    dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2 = outs
+    return (dx, dlns.reshape(c), dlnb.reshape(c), dw1, db1.reshape(ch),
+            dwdw.reshape(3, 3, 1, ch), dbdw.reshape(ch), dw2, db2.reshape(c))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused(cfg: _LeffStatic, x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2):
     return _pallas_forward(cfg, x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2)
@@ -376,12 +599,18 @@ def _fused_fwd(cfg, *args):
 
 def _fused_bwd(cfg, residuals, g):
     x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2 = residuals
-    # the +-2-row halo needs >= 2 rows per strip; shapes whose VMEM budget
-    # forces shorter strips (large W * hidden products) use the XLA vjp
-    fits = _pick_bwd_rows(x.shape[1], x.shape[2], w1.shape[1]) >= 2
-    if cfg.use_pallas_bwd and fits:
-        (dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2) = _pallas_backward(
-            cfg, x, g, ln_scale, ln_bias, w1, b1, wdw, bdw, w2)
+    # full-width row strips when the +-2-row halo fits (>= 2 rows/strip);
+    # otherwise the column-blocked 2-D kernel (r2's two fallback shapes —
+    # the decoder layers — now take this path instead of the XLA vjp)
+    rows, wb = _pick_bwd_blocks(x.shape[1], x.shape[2], w1.shape[1])
+    if cfg.use_pallas_bwd and rows >= 2:
+        if wb == x.shape[2]:
+            grads = _pallas_backward(cfg, x, g, ln_scale, ln_bias, w1, b1,
+                                     wdw, bdw, w2)
+        else:
+            grads = _pallas_backward_2d(cfg, x, g, ln_scale, ln_bias, w1, b1,
+                                        wdw, bdw, w2, rows, wb)
+        (dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2) = grads
         return (dx, dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
                 dw1.astype(w1.dtype), db1.astype(b1.dtype),
                 dwdw.astype(wdw.dtype), dbdw.astype(bdw.dtype),

@@ -261,3 +261,51 @@ def test_leff_pallas_backward_all_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_leff_pallas_backward_2d_all_grads():
+    """The column-blocked 2-D backward kernel (used for the decoder shapes
+    whose full-width strips don't fit VMEM) matches autodiff through the XLA
+    reference on every gradient."""
+    from fbanet_tpu.ops.leff_pallas import (
+        _LeffStatic,
+        _pallas_backward_2d,
+        leff_reference,
+    )
+
+    c, ch = 16, 32
+    p = _leff_params(33, c, ch)
+    x = jax.random.normal(jax.random.key(54), (2, 16, 16, c))
+    gc = jax.random.normal(jax.random.key(55), (2, 16, 16, c))
+    args = tuple(p.values())
+
+    cfg = _LeffStatic(compute_dtype="float32", rows=4, interpret=True,
+                      use_pallas_bwd=True)
+    got = _pallas_backward_2d(cfg, x, gc, *args[:-1], rows=4, wb=8)
+
+    def loss(x, *a):
+        return jnp.sum(leff_reference(x, *a) * gc)
+
+    want = jax.grad(loss, argnums=tuple(range(9)))(x, *args)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_leff_bwd_block_picker_covers_decoder_shapes():
+    """The r2 fallback shapes (decoder layers) now get a >=2-row block via
+    column halving; encoder shapes keep full-width strips."""
+    from fbanet_tpu.ops.leff_pallas import _pick_bwd_blocks
+
+    # decoder shapes that previously fell back to the XLA vjp
+    r, wb = _pick_bwd_blocks(160, 160, 512)
+    assert r >= 2 and wb < 160 and 160 % wb == 0
+    r, wb = _pick_bwd_blocks(80, 80, 1024)
+    assert r >= 2 and wb < 80 and 80 % wb == 0
+    # encoder shapes keep full-width strips (cheapest halo traffic)
+    r, wb = _pick_bwd_blocks(160, 160, 256)
+    assert r >= 2 and wb == 160
+    r, wb = _pick_bwd_blocks(80, 80, 512)
+    assert r >= 2 and wb == 80
+    r, wb = _pick_bwd_blocks(40, 40, 1024)
+    assert r >= 2 and wb == 40
