@@ -271,14 +271,26 @@ class RealBSRDataset:
 
             lr = hr = None
             if native_io.available():
+                # probe image dims once per dataset (same pattern as
+                # _decode_burst): decoding probes per burst doubled the
+                # cold-epoch cost
+                if not hasattr(self, "_probe_dims"):
+                    probe_lr = _decode_png(rec.lr_paths[0])
+                    probe_hr = (_decode_png(rec.hr_path)
+                                if rec.hr_path else None)
+                    self._probe_dims = (
+                        probe_lr.shape[:2],
+                        probe_hr.shape[:2] if probe_hr is not None else None)
+                (lh, lw), hr_dims = self._probe_dims
                 try:
-                    probe = _decode_png(rec.lr_paths[0])
-                    lr = native_io.decode_files(
-                        rec.lr_paths, *probe.shape[:2], as_float=False)
+                    lr = native_io.decode_files(rec.lr_paths, lh, lw,
+                                                as_float=False)
                     if rec.hr_path is not None:
-                        hprobe = _decode_png(rec.hr_path)
+                        if hr_dims is None:  # mixed GT-free tree: probe now
+                            hr_dims = _decode_png(rec.hr_path).shape[:2]
+                            self._probe_dims = ((lh, lw), hr_dims)
                         hr = native_io.decode_files(
-                            [rec.hr_path], *hprobe.shape[:2],
+                            [rec.hr_path], hr_dims[0], hr_dims[1],
                             as_float=False)[0]
                 except OSError:
                     lr = None
