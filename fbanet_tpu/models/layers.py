@@ -196,9 +196,12 @@ class FusedWindowAttention(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, windows: Array, ln_scale: Array, ln_bias: Array,
-                 mask: Array | None, windows_per_image: int) -> Array:
-        from fbanet_tpu.ops.attention_pallas import fused_window_attention
+    def __call__(self, y4: Array, ln_scale: Array, ln_bias: Array,
+                 mask: Array | None) -> Array:
+        """y4: the post-shift 4-D feature map [B, H, W, C]; returns the
+        attention branch in the same layout (window partition/merge happen
+        inside the kernel — the [G, N, C] window tensor never reaches HBM)."""
+        from fbanet_tpu.ops.attention_pallas import fused_window_attention_2d
 
         c = self.dim
         n = self.window_size ** 2
@@ -217,12 +220,12 @@ class FusedWindowAttention(nn.Module):
         idx = relative_position_index(self.window_size)
         bias = table[idx.reshape(-1)].reshape(n, n, self.heads).transpose(2, 0, 1)
         zeros = lambda d: jnp.zeros((d,), self.param_dtype)  # noqa: E731
-        return fused_window_attention(
-            windows, ln_scale, ln_bias,
+        return fused_window_attention_2d(
+            y4, ln_scale, ln_bias,
             wq, bq if bq is not None else zeros(c),
             wkv, bkv if bkv is not None else zeros(2 * c),
             wproj, bproj, bias, mask,
-            heads=self.heads, windows_per_image=windows_per_image,
+            heads=self.heads, window_size=self.window_size,
             compute_dtype=self.dtype)
 
 
@@ -529,13 +532,12 @@ class SwinLayer(nn.Module):
                 mask = jnp.asarray(shift_attention_mask(h, w, ws, shift))
             else:
                 mask = None
-            windows = window_partition(y, ws)
-            attn_windows = FusedWindowAttention(
+            # partition/merge happen inside the kernel (4-D in, 4-D out)
+            y = FusedWindowAttention(
                 dim=self.dim, window_size=ws, heads=self.heads,
                 use_qkv_bias=self.use_qkv_bias, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="attn",
-            )(windows, ln_scale, ln_bias, mask,
-              windows_per_image=(h // ws) * (w // ws))
+            )(y, ln_scale, ln_bias, mask)
         else:
             y = nn.LayerNorm(epsilon=_LN_EPS, dtype=jnp.float32,
                              name="norm1")(x).astype(self.dtype)
@@ -555,7 +557,7 @@ class SwinLayer(nn.Module):
                 use_se_layer=self.use_se_layer, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="attn",
             )(windows, mask=mask, deterministic=deterministic)
-        y = window_reverse(attn_windows, ws, h, w)
+            y = window_reverse(attn_windows, ws, h, w)
 
         if shift > 0:
             y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))

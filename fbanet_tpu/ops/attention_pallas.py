@@ -136,33 +136,29 @@ def window_attention_reference(x: Array, ln_scale: Array, ln_bias: Array,
 # Pallas kernel
 # --------------------------------------------------------------------------
 
-def _attention_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref,
-                      bkv_ref, wproj_ref, bproj_ref, bias_ref, *rest,
-                      heads: int, n: int, c: int, gb: int, has_mask: bool,
-                      compute_dtype: str) -> None:
-    if has_mask:
-        mask_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
-    cdtype = jnp.dtype(compute_dtype)
+def _attn_block_math(x, lns, lnb, wq, bq, wkv, bkv, wproj, bproj, bias,
+                     mask, *, heads: int, n: int, c: int, gb: int,
+                     cdtype) -> Array:
+    """The shared in-VMEM attention math: LN -> QKV -> per-head attention
+    with bias (+mask) -> out projection. x: [GB, N, C] -> [GB, N, C]."""
     h, dh = heads, c // heads
     scale = dh ** -0.5
 
     # --- LayerNorm (f32, flax semantics) ---
-    xf = x_ref[...].astype(jnp.float32)  # [GB, N, C]
+    xf = x.astype(jnp.float32)  # [GB, N, C]
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
-    mul = jax.lax.rsqrt(var + _LN_EPS) * lns_ref[...].astype(jnp.float32)
-    y = ((xf - mu) * mul + lnb_ref[...].astype(jnp.float32)).astype(cdtype)
+    mul = jax.lax.rsqrt(var + _LN_EPS) * lns.astype(jnp.float32)
+    y = ((xf - mu) * mul + lnb.astype(jnp.float32)).astype(cdtype)
 
     # --- full-width QKV projections (big MXU matmuls) ---
     y2 = y.reshape(gb * n, c)
-    q2 = (jnp.dot(y2, wq_ref[...].astype(cdtype),
+    q2 = (jnp.dot(y2, wq.astype(cdtype),
                   preferred_element_type=jnp.float32)
-          + bq_ref[...].astype(jnp.float32)) * scale
-    kv2 = (jnp.dot(y2, wkv_ref[...].astype(cdtype),
+          + bq.astype(jnp.float32)) * scale
+    kv2 = (jnp.dot(y2, wkv.astype(cdtype),
                    preferred_element_type=jnp.float32)
-           + bkv_ref[...].astype(jnp.float32))
+           + bkv.astype(jnp.float32))
     q2 = q2.astype(cdtype)
     kv2 = kv2.astype(cdtype)
 
@@ -176,19 +172,60 @@ def _attention_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref,
         vh = kv2[:, c + i * dh:c + (i + 1) * dh].reshape(gb, n, dh)
         attn = jax.lax.dot_general(qh, kh, dimension_numbers=dn,
                                    preferred_element_type=jnp.float32)
-        attn = attn + bias_ref[i][None]
-        if has_mask:
-            attn = attn + mask_ref[...]
+        attn = attn + bias[i][None]
+        if mask is not None:
+            attn = attn + mask
         attn = jax.nn.softmax(attn, axis=-1).astype(cdtype)
         oh = jax.lax.dot_general(attn, vh, dimension_numbers=dn_av,
                                  preferred_element_type=jnp.float32)
         outs.append(oh.astype(cdtype).reshape(gb * n, dh))
 
     o2 = outs[0] if h == 1 else jnp.concatenate(outs, axis=-1)  # [GB*N, C]
-    out = (jnp.dot(o2, wproj_ref[...].astype(cdtype),
+    out = (jnp.dot(o2, wproj.astype(cdtype),
                    preferred_element_type=jnp.float32)
-           + bproj_ref[...].astype(jnp.float32))
-    out_ref[...] = out.astype(out_ref.dtype).reshape(gb, n, c)
+           + bproj.astype(jnp.float32))
+    return out.reshape(gb, n, c)
+
+
+def _attention_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref,
+                      bkv_ref, wproj_ref, bproj_ref, bias_ref, *rest,
+                      heads: int, n: int, c: int, gb: int, has_mask: bool,
+                      compute_dtype: str) -> None:
+    if has_mask:
+        mask_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    out = _attn_block_math(
+        x_ref[...], lns_ref[...], lnb_ref[...], wq_ref[...], bq_ref[...],
+        wkv_ref[...], bkv_ref[...], wproj_ref[...], bproj_ref[...],
+        bias_ref[...], mask_ref[...] if has_mask else None,
+        heads=heads, n=n, c=c, gb=gb, cdtype=jnp.dtype(compute_dtype))
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _attention2d_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref,
+                        bkv_ref, wproj_ref, bproj_ref, bias_ref, *rest,
+                        heads: int, n: int, c: int, ws: int, nwr: int,
+                        nr: int, has_mask: bool, compute_dtype: str) -> None:
+    """Partition-fused variant: one grid step = `nr` rows of windows of one
+    image, read directly as a (1, nr*ws, W, C) block of the 4-D feature map
+    — the HBM-materialized [G, N, C] window tensor (and its reverse) never
+    exists. The window split/merge is an in-VMEM leading-dim transpose."""
+    if has_mask:
+        mask_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    gb = nr * nwr
+    x4 = x_ref[0]  # [nr*ws, W, C]
+    xw = x4.reshape(nr, ws, nwr, ws, c).transpose(0, 2, 1, 3, 4).reshape(
+        gb, n, c)
+    out = _attn_block_math(
+        xw, lns_ref[...], lnb_ref[...], wq_ref[...], bq_ref[...],
+        wkv_ref[...], bkv_ref[...], wproj_ref[...], bproj_ref[...],
+        bias_ref[...], mask_ref[...] if has_mask else None,
+        heads=heads, n=n, c=c, gb=gb, cdtype=jnp.dtype(compute_dtype))
+    out4 = out.reshape(nr, nwr, ws, ws, c).transpose(0, 2, 1, 3, 4)
+    out_ref[0] = out4.reshape(nr * ws, nwr * ws, c).astype(out_ref.dtype)
 
 
 def _pallas_forward(cfg: _AttnStatic, x, ln_scale, ln_bias, wq, bq, wkv, bkv,
@@ -473,6 +510,166 @@ def _fused_bwd(cfg, residuals, g):
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# Partition-fused (4-D input) variant
+# --------------------------------------------------------------------------
+
+
+class _Attn2dStatic(NamedTuple):
+    heads: int
+    window_size: int
+    compute_dtype: str
+    interpret: bool
+    use_pallas_bwd: bool = True
+
+
+def _partition(x4: Array, ws: int) -> Array:
+    b, h, w, c = x4.shape
+    xw = x4.reshape(b, h // ws, ws, w // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return xw.reshape(b * (h // ws) * (w // ws), ws * ws, c)
+
+
+def _reverse(win: Array, ws: int, b: int, h: int, w: int) -> Array:
+    c = win.shape[-1]
+    xw = win.reshape(b, h // ws, w // ws, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return xw.reshape(b, h, w, c)
+
+
+def _pallas_forward_2d(cfg: _Attn2dStatic, x4, ln_scale, ln_bias, wq, bq,
+                       wkv, bkv, wproj, bproj, bias, mask):
+    b, hgt, wid, c = x4.shape
+    ws = cfg.window_size
+    n = ws * ws
+    nwr, nh = wid // ws, hgt // ws
+    has_mask = mask is not None
+
+    # rows of windows per grid step: target ~32-64 windows/step for MXU row
+    # depth while keeping the x block + per-window math inside VMEM
+    nr = 1
+    for cand in range(nh, 0, -1):
+        if nh % cand:
+            continue
+        vmem = (cand * ws * wid * c * 4 * 7          # x/y/q/kv/out f32-ish
+                + cand * nwr * n * n * 4 * 3)        # logits/softmax temps
+        if cand * nwr <= 64 and vmem <= 6 * 2**20:
+            nr = cand
+            break
+
+    kernel = functools.partial(
+        _attention2d_kernel, heads=cfg.heads, n=n, c=c, ws=ws, nwr=nwr,
+        nr=nr, has_mask=has_mask, compute_dtype=cfg.compute_dtype)
+    full2 = lambda *_: (0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, nr * ws, wid, c), lambda bi, ii: (bi, ii, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),   # ln_scale
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),   # ln_bias
+        pl.BlockSpec((c, c), full2, memory_space=pltpu.VMEM),   # wq
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),   # bq
+        pl.BlockSpec((c, 2 * c), full2, memory_space=pltpu.VMEM),  # wkv
+        pl.BlockSpec((1, 2 * c), full2, memory_space=pltpu.VMEM),  # bkv
+        pl.BlockSpec((c, c), full2, memory_space=pltpu.VMEM),   # wproj
+        pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),   # bproj
+        pl.BlockSpec((cfg.heads, n, n), lambda bi, ii: (0, 0, 0),
+                     memory_space=pltpu.VMEM),                  # rel-pos bias
+    ]
+    args = [x4,
+            ln_scale.reshape(1, c), ln_bias.reshape(1, c),
+            wq, bq.reshape(1, c), wkv, bkv.reshape(1, 2 * c),
+            wproj, bproj.reshape(1, c), bias.astype(jnp.float32)]
+    if has_mask:
+        # mask [nW_img, N, N] row-major: step ii holds windows
+        # ii*nr*nwr .. (ii+1)*nr*nwr-1 -> block (nr*nwr, N, N) at index ii
+        in_specs.append(pl.BlockSpec(
+            (nr * nwr, n, n), lambda bi, ii: (ii, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(mask.astype(jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nh // nr),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nr * ws, wid, c),
+                               lambda bi, ii: (bi, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hgt, wid, c), x4.dtype),
+        interpret=cfg.interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused2d(cfg: _Attn2dStatic, x4, ln_scale, ln_bias, wq, bq, wkv, bkv,
+             wproj, bproj, bias, mask):
+    return _pallas_forward_2d(cfg, x4, ln_scale, ln_bias, wq, bq, wkv, bkv,
+                              wproj, bproj, bias, mask)
+
+
+def _fused2d_fwd(cfg, *args):
+    return _pallas_forward_2d(cfg, *args), args
+
+
+def _fused2d_bwd(cfg, residuals, g4):
+    """Backward: partition in XLA (training runs under remat anyway), reuse
+    the windowed backward machinery, reverse dx."""
+    x4, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj, bproj, bias, mask = \
+        residuals
+    b, hgt, wid, c = x4.shape
+    ws = cfg.window_size
+    n = ws * ws
+    nwpi = (hgt // ws) * (wid // ws)
+    xw = _partition(x4, ws)
+    gw = _partition(g4, ws)
+    gb_limit = nwpi if mask is not None else xw.shape[0]
+    while xw.shape[0] % gb_limit != 0:
+        gb_limit -= 1
+    cfg_w = _AttnStatic(
+        heads=cfg.heads, windows_per_image=nwpi,
+        compute_dtype=cfg.compute_dtype,
+        block_windows=pick_block_windows(gb_limit, n, c),
+        interpret=cfg.interpret, use_pallas_bwd=cfg.use_pallas_bwd)
+    grads = _fused_bwd(cfg_w, (xw, ln_scale, ln_bias, wq, bq, wkv, bkv,
+                               wproj, bproj, bias, mask), gw)
+    dxw, *rest = grads
+    return (_reverse(dxw, ws, b, hgt, wid), *rest)
+
+
+_fused2d.defvjp(_fused2d_fwd, _fused2d_bwd)
+
+
+def fused_window_attention_2d(x4: Array, ln_scale: Array, ln_bias: Array,
+                              wq: Array, bq: Array, wkv: Array, bkv: Array,
+                              wproj: Array, bproj: Array, bias: Array,
+                              mask: Array | None, *, heads: int,
+                              window_size: int,
+                              compute_dtype=jnp.float32,
+                              interpret: bool | None = None,
+                              use_pallas_bwd: bool | None = None) -> Array:
+    """Fused norm1 + window attention directly on the 4-D feature map
+    `[B, H, W, C]` (post-shift; the caller rolls/unrolls — rolls cost ~0.07
+    ms while the partition/reverse HBM materializations this removes cost
+    ~0.5 ms per dim-64 layer at B=4). Window partition/merge happen in VMEM
+    inside the kernel. Output is the attention branch in image layout.
+    """
+    b, hgt, wid, c = x4.shape
+    ws = window_size
+    n = ws * ws
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if use_pallas_bwd is None:
+        use_pallas_bwd = not interpret
+    if (hgt % ws or wid % ws or not _supported(n, c, heads)):
+        win = window_attention_reference(
+            _partition(x4, ws), ln_scale, ln_bias, wq, bq, wkv, bkv, wproj,
+            bproj, bias, mask, heads=heads, compute_dtype=compute_dtype)
+        return _reverse(win, ws, b, hgt, wid)
+    cfg = _Attn2dStatic(heads=heads, window_size=ws,
+                        compute_dtype=jnp.dtype(compute_dtype).name,
+                        interpret=bool(interpret),
+                        use_pallas_bwd=bool(use_pallas_bwd))
+    return _fused2d(cfg, x4, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj,
+                    bproj, bias, mask)
 
 
 def fused_window_attention(x: Array, ln_scale: Array, ln_bias: Array,

@@ -163,6 +163,73 @@ def test_model_grads_pallas_vs_xla():
                                    atol=1e-5, rtol=1e-3)
 
 
+# ------------------------------------------- partition-fused (4-D) variant ----
+
+def _partition_np(x4, ws):
+    b, h, w, c = x4.shape
+    xw = x4.reshape(b, h // ws, ws, w // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return xw.reshape(b * (h // ws) * (w // ws), ws * ws, c)
+
+
+def _reverse_np(win, ws, b, h, w):
+    c = win.shape[-1]
+    xw = win.reshape(b, h // ws, w // ws, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return xw.reshape(b, h, w, c)
+
+
+@pytest.mark.parametrize("heads,c", [(2, 32), (4, 32)])
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("img", [16, 48])
+def test_fused_2d_matches_reference(heads, c, masked, img):
+    """4-D-input kernel (window partition/merge in VMEM) == reference on the
+    partitioned windows. img=48 forces nr=4 with 3 window-row grid steps,
+    exercising the mask BlockSpec row indexing; img=16 is single-step."""
+    from fbanet_tpu.ops.attention_pallas import fused_window_attention_2d
+
+    ws = 4
+    p = _rand_params(heads * 10 + c + img, c, heads, ws)
+    x4 = jax.random.normal(jax.random.key(17), (2, img, img, c))
+    mask = (jnp.asarray(shift_attention_mask(img, img, ws, ws // 2))
+            if masked else None)
+
+    ref = window_attention_reference(_partition_np(x4, ws), **p, mask=mask,
+                                     heads=heads)
+    ref4 = _reverse_np(ref, ws, 2, img, img)
+    got = fused_window_attention_2d(x4, **p, mask=mask, heads=heads,
+                                    window_size=ws, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref4),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_2d_gradients_match_reference():
+    """custom_vjp backward (partition-in-XLA + windowed Pallas bwd) ==
+    autodiff through the XLA reference, on x and a weight."""
+    from fbanet_tpu.ops.attention_pallas import fused_window_attention_2d
+
+    heads, c, ws, img = 2, 16, 4, 8
+    p = _rand_params(19, c, heads, ws)
+    x4 = jax.random.normal(jax.random.key(23), (2, img, img, c))
+    mask = jnp.asarray(shift_attention_mask(img, img, ws, ws // 2))
+
+    def loss_fused(x4, wq):
+        out = fused_window_attention_2d(
+            x4, **{**p, "wq": wq}, mask=mask, heads=heads, window_size=ws,
+            interpret=True, use_pallas_bwd=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x4, wq):
+        win = window_attention_reference(
+            _partition_np(x4, ws), **{**p, "wq": wq}, mask=mask, heads=heads)
+        return jnp.sum(_reverse_np(win, ws, 2, img, img) ** 2)
+
+    gx1, gw1 = jax.grad(loss_fused, argnums=(0, 1))(x4, p["wq"])
+    gx2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(x4, p["wq"])
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               atol=1e-4, rtol=1e-4)
+
+
 # ------------------------------------------------------------ fused LeFF ----
 
 def _leff_params(rng, c, ch):
