@@ -84,34 +84,79 @@ class _UpsamplerParams(nn.Module):
 
 
 def rearrange_after_shuffle(w: Array) -> Array:
-    """Fold a conv3x3 applied AFTER `pixel_shuffle(x, 2)` into an equivalent
-    conv applied BEFORE it: [3, 3, C, Co] -> [3, 3, 4C, 4Co].
+    """Fold an odd-sized conv applied AFTER `pixel_shuffle(x, 2)` into an
+    equivalent conv applied BEFORE it: [k, k, C, Co] -> [k', k', 4C, 4Co]
+    (k'=3 for k in {3, 5}).
 
     With the torch channel order pixel_shuffle uses (channel = c*4 + dy*2+dx,
     models/layers.py:637-648), shuffled[2y+dy, 2x+dx, i] =
     pre[y, x, i*4 + py*2 + px]. Substituting into the conv and collecting
-    taps per output parity gives a 3x3 conv on the pre-shuffle tensor whose
+    taps per output parity gives a conv on the pre-shuffle tensor whose
     out channel o*4 + dy*2 + dx shuffles into position (2y+dy, 2x+dx, o).
     EXACT (including zero-padding at image borders: every out-of-bounds
-    640-space tap maps to an out-of-bounds 320-space tap). Profiled on v5e:
-    the post-shuffle 640px conv cost 6.7 ms at B=4 (3-channel output forces
-    a padded layout over a 210 MB input); reordered it is 2.4 ms.
+    post-shuffle tap maps to an out-of-bounds pre-shuffle tap). Profiled on
+    v5e: the post-shuffle 640px conv cost 6.7 ms at B=4 (3-channel output
+    forces a padded layout over a 210 MB input); reordered it is 2.4 ms.
     """
-    _, _, c, co = w.shape
-    wk = jnp.zeros((3, 3, 4 * c, 4 * co), w.dtype)
-    for dy in range(2):
-        for dx in range(2):
-            for a in range(-1, 2):
-                for bb in range(-1, 2):
-                    yy, py = divmod(dy + a, 2)
-                    xx, px = divmod(dx + bb, 2)
-                    wk = wk.at[yy + 1, xx + 1, (py * 2 + px)::4,
-                               (dy * 2 + dx)::4].add(w[a + 1, bb + 1])
-    return wk
+    import numpy as np
+
+    kh, kw, c, co = w.shape
+    assert kh == kw and kh % 2 == 1, (kh, kw)
+    r = kh // 2
+    yy_min = -((r + 1) // 2)  # floor(-r / 2)
+    yy_max = (1 + r) // 2     # floor((1 + r) / 2)
+    ko = yy_max - yy_min + 1
+    # trace-time 0/1 routing tensor T[Y, p, a] (separable in y/x): tap a of
+    # the post-shuffle kernel at output parity d lands on pre-shuffle tap
+    # Y = floor((d+a)/2) at input parity p = (d+a) mod 2; one einsum per
+    # call instead of 4*k^2 scatter-adds (those cost ~1 ms/step on TPU).
+    T = np.zeros((ko, 2, 2, kh), np.float32)  # [Y, p, d, a]
+    for d in range(2):
+        for a in range(-r, r + 1):
+            yy, p = divmod(d + a, 2)
+            T[yy - yy_min, p, d, a + r] = 1.0
+    Tj = jnp.asarray(T, w.dtype)
+    # wk[Y, X, i*4 + py*2+px, o*4 + dy*2+dx] = sum_{a,b} T[Y,py,dy,a] *
+    #   T[X,px,dx,b] * w[a,b,i,o]
+    wk = jnp.einsum("YpdA,XqeB,ABio->YXipqode", Tj, Tj, w,
+                    precision=jax.lax.Precision.HIGHEST)
+    return wk.reshape(ko, ko, 4 * c, 4 * co)
 
 
-def fused_tail_x4(x: Array, w0: Array, b0: Array, w1: Array, b1: Array,
-                  wt: Array, bt: Array, dtype: Dtype) -> Array:
+def compose_convs(wa: Array, wb: Array) -> Array:
+    """The kernel K with conv(x, K) == conv(conv(x, wa), wb) away from image
+    borders (XLA cross-correlation, 'same' zero padding):
+    K[t] = sum_{u+v=t} wa[u] @ wb[v]. [ka,ka,Ci,M] x [kb,kb,M,Co] ->
+    [ka+kb-1, ka+kb-1, Ci, Co]. Near borders the composition differs (it
+    sees 'virtual' intermediate values where the true pipeline's zero
+    padding applies) — callers must repair a (ka+kb-2)/2-wide ring."""
+    kb = wb.shape[0]
+    # one "full"-padding convolution over the tap grid: wa's taps as an
+    # image batched over Ci, wb (spatially flipped: K[t] = sum_{u+v=t}
+    # wa[u] @ wb[v], while XLA convs are cross-correlations) as the kernel
+    img = wa.transpose(2, 0, 1, 3)  # [Ci, ka, ka, M]
+    wbf = wb[::-1, ::-1]
+    dn = jax.lax.conv_dimension_numbers(img.shape, wbf.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        img, wbf, (1, 1), [(kb - 1, kb - 1), (kb - 1, kb - 1)],
+        dimension_numbers=dn, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.promote_types(wa.dtype, wb.dtype))
+    return out.transpose(1, 2, 0, 3)  # [k, k, Ci, Co]
+
+
+def _conv_same(y: Array, wk: Array, bk: Array | None, dtype: Dtype) -> Array:
+    k = wk.shape[0]
+    p = k // 2
+    dn = jax.lax.conv_dimension_numbers(
+        y.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        y, wk.astype(dtype), (1, 1), [(p, p), (p, p)], dimension_numbers=dn)
+    return out if bk is None else out + bk.astype(dtype)
+
+
+def tail_x4_direct(x: Array, w0: Array, b0: Array, w1: Array, b1: Array,
+                   wt: Array, bt: Array, dtype: Dtype) -> Array:
     """The model tail — UpsamplerBlock(x4) + final conv to `cout` — with the
     final conv reordered before the second pixel shuffle (exact; see
     `rearrange_after_shuffle`). [B, H, W, C] -> [B, 4H, 4W, cout].
@@ -121,18 +166,75 @@ def fused_tail_x4(x: Array, w0: Array, b0: Array, w1: Array, b1: Array,
     models/fba_net.py:313-315); pinned by
     tests/test_model.py::test_fused_tail_matches_naive.
     """
-    def conv3(y: Array, wk: Array, bk: Array | None) -> Array:
-        dn = jax.lax.conv_dimension_numbers(
-            y.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
-        out = jax.lax.conv_general_dilated(
-            y, wk.astype(dtype), (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=dn)
-        return out if bk is None else out + bk.astype(dtype)
-
-    y = pixel_shuffle(conv3(x.astype(dtype), w0, b0), 2)   # [B,2H,2W,C]
-    z = conv3(y, w1, b1)                                   # [B,2H,2W,4C]
-    zz = conv3(z, rearrange_after_shuffle(wt), None)       # [B,2H,2W,4*cout]
+    y = pixel_shuffle(_conv_same(x.astype(dtype), w0, b0, dtype), 2)
+    z = _conv_same(y, w1, b1, dtype)                       # [B,2H,2W,4C]
+    zz = _conv_same(z, rearrange_after_shuffle(wt), None, dtype)
     return pixel_shuffle(zz, 2) + bt.astype(dtype)
+
+
+_TAIL_RING = 8    # 640-scale border ring the composed conv gets wrong
+_TAIL_STRIP = 4   # feature-scale strip width recomputed with the direct path
+                  # (valid exact rows = 4*(_TAIL_STRIP-2) >= _TAIL_RING)
+
+
+def fused_tail_x4(x: Array, w0: Array, b0: Array, w1: Array, b1: Array,
+                  wt: Array, bt: Array, dtype: Dtype) -> Array:
+    """The model tail computed as ONE composed conv + two pixel shuffles.
+
+    The whole tail is linear — conv0 / shuffle / conv1 / final conv carry no
+    activations (reference: fba_net/blocks/upsampler.py:13-35 +
+    models/fba_net.py:313-315) — so the final conv folds through the second
+    shuffle (`rearrange_after_shuffle`), composes with conv1
+    (`compose_convs`), folds through the first shuffle, and composes with
+    conv0: a single 5x5 conv C -> 16*cout at the FEATURE resolution,
+    followed by two shuffles. ~11x fewer FLOPs than the sequential form and
+    no [B, 2H, 2W, 4C] intermediate (210 MB at the published size, B=4).
+
+    Kernel composition is exact away from borders; within `_TAIL_RING`
+    output pixels of the edge the composed conv sees 'virtual' intermediate
+    values where the true pipeline zero-pads, so that ring is recomputed
+    with the exact direct path on four narrow strips and pasted. Same
+    parameters/semantics as the naive composition everywhere — pinned by
+    tests/test_model.py::test_fused_tail_matches_naive and
+    ::test_fused_tail_border_ring_exact.
+    """
+    b, h, w, c = x.shape
+    if min(h, w) < 2 * _TAIL_STRIP:
+        return tail_x4_direct(x, w0, b0, w1, b1, wt, bt, dtype)
+
+    f32 = jnp.float32
+    # final conv folded to 2H-space, composed with conv1: [5, 5, C, 4*cout]
+    rt = rearrange_after_shuffle(wt.astype(f32))
+    wa = compose_convs(w1.astype(f32), rt)
+    cb = jnp.einsum("xyio,i->o", rt, b1.astype(f32))  # conv1 bias through rt
+    # folded to H-space, composed with conv0: [5, 5, C, 16*cout]
+    wb = rearrange_after_shuffle(wa)
+    wf = compose_convs(w0.astype(f32), wb)
+    bf = jnp.repeat(cb, 4) + jnp.einsum("xyio,i->o", wb, b0.astype(f32))
+
+    core = _conv_same(x.astype(dtype), wf, bf, dtype)
+    # both shuffles in one transpose (no lane-padded 12-channel @2H
+    # intermediate): channel o*16 + (dy2*2+dx2)*4 + (dy1*2+dx1) lands at
+    # spatial offset (2*dy1 + dy2, 2*dx1 + dx2) — shuffle-of-shuffle order
+    cout = wt.shape[3]
+    c6 = core.reshape(b, h, w, cout, 2, 2, 2, 2)  # [.., o, dy2, dx2, dy1, dx1]
+    out = c6.transpose(0, 1, 6, 4, 2, 7, 5, 3).reshape(b, 4 * h, 4 * w, cout)
+    out = out + bt.astype(dtype)
+
+    # exact border ring from the direct path on four narrow strips (the
+    # full-height/width strips carry the true outer borders, so corners are
+    # exact too; each strip's cut edge is far enough from the pasted ring).
+    # Opposite strips are batch-concatenated so the whole repair is two
+    # small direct-path calls, not four.
+    s, r = _TAIL_STRIP, _TAIL_RING
+    args = (w0, b0, w1, b1, wt, bt, dtype)
+    tb = tail_x4_direct(jnp.concatenate([x[:, :s], x[:, -s:]]), *args)
+    out = out.at[:, :r].set(tb[:b, :r])
+    out = out.at[:, -r:].set(tb[b:, -r:])
+    lr = tail_x4_direct(jnp.concatenate([x[:, :, :s], x[:, :, -s:]]), *args)
+    out = out.at[:, :, :r].set(lr[:b, :, :r])
+    out = out.at[:, :, -r:].set(lr[b:, :, -r:])
+    return out
 
 
 class FAFBlock(nn.Module):

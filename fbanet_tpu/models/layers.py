@@ -197,10 +197,11 @@ class FusedWindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, y4: Array, ln_scale: Array, ln_bias: Array,
-                 mask: Array | None) -> Array:
+                 mask: Array | None, residual: bool = False) -> Array:
         """y4: the post-shift 4-D feature map [B, H, W, C]; returns the
         attention branch in the same layout (window partition/merge happen
-        inside the kernel — the [G, N, C] window tensor never reaches HBM)."""
+        inside the kernel — the [G, N, C] window tensor never reaches HBM).
+        With `residual=True` the kernel returns `y4 + branch`."""
         from fbanet_tpu.ops.attention_pallas import fused_window_attention_2d
 
         c = self.dim
@@ -226,7 +227,7 @@ class FusedWindowAttention(nn.Module):
             wkv, bkv if bkv is not None else zeros(2 * c),
             wproj, bproj, bias, mask,
             heads=self.heads, window_size=self.window_size,
-            compute_dtype=self.dtype)
+            compute_dtype=self.dtype, residual=residual)
 
 
 class FusedLeFF(nn.Module):
@@ -244,7 +245,8 @@ class FusedLeFF(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, ln_scale: Array, ln_bias: Array) -> Array:
+    def __call__(self, x: Array, ln_scale: Array, ln_bias: Array,
+                 residual: bool = False) -> Array:
         from fbanet_tpu.ops.leff_pallas import fused_leff
 
         c, ch = self.dim, self.hidden_dim
@@ -256,7 +258,7 @@ class FusedLeFF(nn.Module):
         w2, b2 = _DenseParams(ch, c, True, param_dtype=self.param_dtype,
                               name="linear2")()
         return fused_leff(x, ln_scale, ln_bias, w1, b1, wdw[0], wdw[1], w2,
-                          b2, compute_dtype=self.dtype)
+                          b2, compute_dtype=self.dtype, residual=residual)
 
 
 class _ConvParams(nn.Module):
@@ -521,7 +523,13 @@ class SwinLayer(nn.Module):
         assert (xh, xw) == (h, w) and c == self.dim
 
         skip = x
-        if self._use_fused_attention():
+        # When drop_path is the identity (deterministic, or rate 0) the skip
+        # add runs inside the fused kernels on already-resident VMEM data.
+        # Valid under the shift too: roll is a permutation, so
+        # unroll(roll(x) + branch) == x + unroll(branch).
+        dp_identity = deterministic or self.drop_path_rate == 0.0
+        fused_attn = self._use_fused_attention()
+        if fused_attn:
             # LN runs inside the kernel (it commutes with roll/partition,
             # both token-wise reorderings), so partition the raw stream.
             ln_scale, ln_bias = _LayerNormParams(
@@ -537,7 +545,7 @@ class SwinLayer(nn.Module):
                 dim=self.dim, window_size=ws, heads=self.heads,
                 use_qkv_bias=self.use_qkv_bias, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="attn",
-            )(y, ln_scale, ln_bias, mask)
+            )(y, ln_scale, ln_bias, mask, residual=dp_identity)
         else:
             y = nn.LayerNorm(epsilon=_LN_EPS, dtype=jnp.float32,
                              name="norm1")(x).astype(self.dtype)
@@ -563,16 +571,22 @@ class SwinLayer(nn.Module):
             y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
 
         drop_path = DropPath(self.drop_path_rate, name="drop_path")
-        x = skip + drop_path(y, deterministic=deterministic).astype(skip.dtype)
+        if fused_attn and dp_identity:
+            x = y.astype(skip.dtype)  # kernel already added the skip
+        else:
+            x = skip + drop_path(y, deterministic=deterministic).astype(skip.dtype)
 
-        if self._use_fused_attention() and self.token_mlp == "leff":
+        fused_leff_path = fused_attn and self.token_mlp == "leff"
+        if fused_leff_path:
             # norm2 + LeFF in one Pallas kernel (the 4C hidden activations
-            # never touch HBM); residual + drop_path stay outside
+            # never touch HBM); with identity drop_path the residual add
+            # happens in-kernel too
             ln2_scale, ln2_bias = _LayerNormParams(
                 self.dim, param_dtype=jnp.float32, name="norm2")()
             y = FusedLeFF(self.dim, int(self.dim * self.mlp_ratio),
                           dtype=self.dtype, param_dtype=self.param_dtype,
-                          name="mlp")(x, ln2_scale, ln2_bias)
+                          name="mlp")(x, ln2_scale, ln2_bias,
+                                      residual=dp_identity)
         else:
             y = nn.LayerNorm(epsilon=_LN_EPS, dtype=jnp.float32,
                              name="norm2")(x).astype(self.dtype)
@@ -585,7 +599,10 @@ class SwinLayer(nn.Module):
                            drop_rate=self.drop_rate, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="mlp")(
                     y, deterministic=deterministic)
-        x = x + drop_path(y, deterministic=deterministic).astype(x.dtype)
+        if fused_leff_path and dp_identity:
+            x = y.astype(x.dtype)  # kernel already added the skip
+        else:
+            x = x + drop_path(y, deterministic=deterministic).astype(x.dtype)
         assert_shape((b, h, w, self.dim), x)
         return x
 

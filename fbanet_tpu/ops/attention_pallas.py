@@ -206,7 +206,8 @@ def _attention_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref,
 def _attention2d_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref,
                         bkv_ref, wproj_ref, bproj_ref, bias_ref, *rest,
                         heads: int, n: int, c: int, ws: int, nwr: int,
-                        nr: int, has_mask: bool, compute_dtype: str) -> None:
+                        nr: int, has_mask: bool, compute_dtype: str,
+                        residual: bool = False) -> None:
     """Partition-fused variant: one grid step = `nr` rows of windows of one
     image, read directly as a (1, nr*ws, W, C) block of the 4-D feature map
     — the HBM-materialized [G, N, C] window tensor (and its reverse) never
@@ -225,7 +226,10 @@ def _attention2d_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref,
         bias_ref[...], mask_ref[...] if has_mask else None,
         heads=heads, n=n, c=c, gb=gb, cdtype=jnp.dtype(compute_dtype))
     out4 = out.reshape(nr, nwr, ws, ws, c).transpose(0, 2, 1, 3, 4)
-    out_ref[0] = out4.reshape(nr * ws, nwr * ws, c).astype(out_ref.dtype)
+    out4 = out4.reshape(nr * ws, nwr * ws, c)
+    if residual:  # x4 is already in VMEM — the skip add is free here
+        out4 = out4 + x4.astype(out4.dtype)
+    out_ref[0] = out4.astype(out_ref.dtype)
 
 
 def _pallas_forward(cfg: _AttnStatic, x, ln_scale, ln_bias, wq, bq, wkv, bkv,
@@ -523,6 +527,7 @@ class _Attn2dStatic(NamedTuple):
     compute_dtype: str
     interpret: bool
     use_pallas_bwd: bool = True
+    residual: bool = False  # kernel outputs x + branch (saves one HBM pass)
 
 
 def _partition(x4: Array, ws: int) -> Array:
@@ -559,7 +564,8 @@ def _pallas_forward_2d(cfg: _Attn2dStatic, x4, ln_scale, ln_bias, wq, bq,
 
     kernel = functools.partial(
         _attention2d_kernel, heads=cfg.heads, n=n, c=c, ws=ws, nwr=nwr,
-        nr=nr, has_mask=has_mask, compute_dtype=cfg.compute_dtype)
+        nr=nr, has_mask=has_mask, compute_dtype=cfg.compute_dtype,
+        residual=cfg.residual)
     full2 = lambda *_: (0, 0)  # noqa: E731
     in_specs = [
         pl.BlockSpec((1, nr * ws, wid, c), lambda bi, ii: (bi, ii, 0, 0),
@@ -632,7 +638,10 @@ def _fused2d_bwd(cfg, residuals, g4):
     grads = _fused_bwd(cfg_w, (xw, ln_scale, ln_bias, wq, bq, wkv, bkv,
                                wproj, bproj, bias, mask), gw)
     dxw, *rest = grads
-    return (_reverse(dxw, ws, b, hgt, wid), *rest)
+    dx4 = _reverse(dxw, ws, b, hgt, wid)
+    if cfg.residual:  # y = x + f(x) -> dx gains the incoming cotangent
+        dx4 = dx4 + g4.astype(dx4.dtype)
+    return (dx4, *rest)
 
 
 _fused2d.defvjp(_fused2d_fwd, _fused2d_bwd)
@@ -645,12 +654,16 @@ def fused_window_attention_2d(x4: Array, ln_scale: Array, ln_bias: Array,
                               window_size: int,
                               compute_dtype=jnp.float32,
                               interpret: bool | None = None,
-                              use_pallas_bwd: bool | None = None) -> Array:
+                              use_pallas_bwd: bool | None = None,
+                              residual: bool = False) -> Array:
     """Fused norm1 + window attention directly on the 4-D feature map
     `[B, H, W, C]` (post-shift; the caller rolls/unrolls — rolls cost ~0.07
     ms while the partition/reverse HBM materializations this removes cost
     ~0.5 ms per dim-64 layer at B=4). Window partition/merge happen in VMEM
-    inside the kernel. Output is the attention branch in image layout.
+    inside the kernel. Output is the attention branch in image layout; with
+    `residual=True` the kernel outputs `x + branch` instead (valid for
+    shifted layers too: roll is a permutation, so
+    `unroll(roll(x) + branch) = x + unroll(branch)`).
     """
     b, hgt, wid, c = x4.shape
     ws = window_size
@@ -663,11 +676,13 @@ def fused_window_attention_2d(x4: Array, ln_scale: Array, ln_bias: Array,
         win = window_attention_reference(
             _partition(x4, ws), ln_scale, ln_bias, wq, bq, wkv, bkv, wproj,
             bproj, bias, mask, heads=heads, compute_dtype=compute_dtype)
-        return _reverse(win, ws, b, hgt, wid)
+        out = _reverse(win, ws, b, hgt, wid)
+        return x4 + out if residual else out
     cfg = _Attn2dStatic(heads=heads, window_size=ws,
                         compute_dtype=jnp.dtype(compute_dtype).name,
                         interpret=bool(interpret),
-                        use_pallas_bwd=bool(use_pallas_bwd))
+                        use_pallas_bwd=bool(use_pallas_bwd),
+                        residual=bool(residual))
     return _fused2d(cfg, x4, ln_scale, ln_bias, wq, bq, wkv, bkv, wproj,
                     bproj, bias, mask)
 

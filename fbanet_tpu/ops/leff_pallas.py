@@ -42,6 +42,7 @@ class _LeffStatic(NamedTuple):
     rows: int
     interpret: bool
     use_pallas_bwd: bool = True
+    residual: bool = False  # kernel outputs x + branch (saves one HBM pass)
 
 
 def leff_reference(x: Array, ln_scale: Array, ln_bias: Array,
@@ -70,7 +71,8 @@ def leff_reference(x: Array, ln_scale: Array, ln_bias: Array,
 
 def _leff_kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
                  wdw_ref, bdw_ref, w2_ref, b2_ref, out_ref, *, rows: int,
-                 w: int, c: int, ch: int, compute_dtype: str) -> None:
+                 w: int, c: int, ch: int, compute_dtype: str,
+                 residual: bool = False) -> None:
     cdtype = jnp.dtype(compute_dtype)
     i = pl.program_id(1)
     ni = pl.num_programs(1)
@@ -110,8 +112,10 @@ def _leff_kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     # Dense Ch -> C
     out = (jnp.dot(h2.reshape(rows * w, ch), w2_ref[...].astype(cdtype),
                    preferred_element_type=jnp.float32)
-           + b2_ref[...].astype(jnp.float32))
-    out_ref[0] = out.astype(out_ref.dtype).reshape(rows, w, c)
+           + b2_ref[...].astype(jnp.float32)).reshape(rows, w, c)
+    if residual:  # the strip is already in VMEM — the add is free here
+        out = out + xc_ref[0].astype(out.dtype)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _pallas_forward(cfg: _LeffStatic, x, ln_scale, ln_bias, w1, b1, wdw, bdw,
@@ -123,7 +127,8 @@ def _pallas_forward(cfg: _LeffStatic, x, ln_scale, ln_bias, w1, b1, wdw, bdw,
     ni = h // rows
 
     kernel = functools.partial(_leff_kernel, rows=rows, w=w, c=c, ch=ch,
-                               compute_dtype=cfg.compute_dtype)
+                               compute_dtype=cfg.compute_dtype,
+                               residual=cfg.residual)
     xspec = lambda off: pl.BlockSpec(  # noqa: E731
         (1, rows, w, c),
         lambda bi, ii, _off=off: (bi, jnp.clip(ii + _off, 0, ni - 1), 0, 0),
@@ -611,6 +616,8 @@ def _fused_bwd(cfg, residuals, g):
             grads = _pallas_backward_2d(cfg, x, g, ln_scale, ln_bias, w1, b1,
                                         wdw, bdw, w2, rows, wb)
         (dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2) = grads
+        if cfg.residual:  # y = x + f(x) -> dx gains the incoming cotangent
+            dx = dx + g.astype(dx.dtype)
         return (dx, dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
                 dw1.astype(w1.dtype), db1.astype(b1.dtype),
                 dwdw.astype(wdw.dtype), dbdw.astype(bdw.dtype),
@@ -618,7 +625,10 @@ def _fused_bwd(cfg, residuals, g):
     ref = functools.partial(leff_reference,
                             compute_dtype=jnp.dtype(cfg.compute_dtype))
     _, vjp = jax.vjp(lambda *a: ref(*a), *residuals)
-    return vjp(g)
+    grads = vjp(g)
+    if cfg.residual:
+        grads = (grads[0] + g.astype(grads[0].dtype), *grads[1:])
+    return grads
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -628,8 +638,13 @@ def fused_leff(x: Array, ln_scale: Array, ln_bias: Array, w1: Array,
                b1: Array, wdw: Array, bdw: Array, w2: Array, b2: Array, *,
                compute_dtype=jnp.float32,
                interpret: bool | None = None,
-               use_pallas_bwd: bool | None = None) -> Array:
-    """Fused norm2 + LeFF on `[B, H, W, C]` (pre-residual output).
+               use_pallas_bwd: bool | None = None,
+               residual: bool = False) -> Array:
+    """Fused norm2 + LeFF on `[B, H, W, C]`.
+
+    With `residual=True` the kernel outputs `x + branch` (the skip add runs
+    in VMEM on the already-loaded strip instead of a separate HBM pass —
+    valid whenever the layer's drop_path is the identity).
 
     Falls back to the XLA reference when the height doesn't divide into row
     strips. `use_pallas_bwd` defaults to compiled-mode only: interpreting
@@ -642,9 +657,11 @@ def fused_leff(x: Array, ln_scale: Array, ln_bias: Array, w1: Array,
     if use_pallas_bwd is None:
         use_pallas_bwd = not interpret
     if h % _ROWS != 0:
-        return leff_reference(x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2,
-                              compute_dtype=compute_dtype)
+        out = leff_reference(x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2,
+                             compute_dtype=compute_dtype)
+        return x + out if residual else out
     cfg = _LeffStatic(compute_dtype=jnp.dtype(compute_dtype).name,
                       rows=_ROWS, interpret=bool(interpret),
-                      use_pallas_bwd=bool(use_pallas_bwd))
+                      use_pallas_bwd=bool(use_pallas_bwd),
+                      residual=bool(residual))
     return _fused(cfg, x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2)

@@ -230,6 +230,61 @@ def test_fused_2d_gradients_match_reference():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fused_2d_residual_matches_composition():
+    """residual=True == x + branch, forward and gradients (the in-kernel
+    skip add used when drop_path is the identity)."""
+    from fbanet_tpu.ops.attention_pallas import fused_window_attention_2d
+
+    heads, c, ws, img = 2, 16, 4, 8
+    p = _rand_params(29, c, heads, ws)
+    x4 = jax.random.normal(jax.random.key(31), (2, img, img, c))
+    mask = jnp.asarray(shift_attention_mask(img, img, ws, ws // 2))
+
+    def f_res(x4, wq):
+        out = fused_window_attention_2d(
+            x4, **{**p, "wq": wq}, mask=mask, heads=heads, window_size=ws,
+            interpret=True, use_pallas_bwd=True, residual=True)
+        return jnp.sum(out ** 2)
+
+    def f_comp(x4, wq):
+        out = x4 + fused_window_attention_2d(
+            x4, **{**p, "wq": wq}, mask=mask, heads=heads, window_size=ws,
+            interpret=True, use_pallas_bwd=True)
+        return jnp.sum(out ** 2)
+
+    np.testing.assert_allclose(float(f_res(x4, p["wq"])),
+                               float(f_comp(x4, p["wq"])), rtol=1e-6)
+    g1 = jax.grad(f_res, argnums=(0, 1))(x4, p["wq"])
+    g2 = jax.grad(f_comp, argnums=(0, 1))(x4, p["wq"])
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_fused_leff_residual_matches_composition():
+    from fbanet_tpu.ops.leff_pallas import fused_leff
+
+    c = 16
+    p = _leff_params(27, c, 4 * c)
+    x = jax.random.normal(jax.random.key(33), (1, 16, 16, c))
+
+    def f_res(x, w1):
+        return jnp.sum(fused_leff(x, **{**p, "w1": w1}, interpret=True,
+                                  use_pallas_bwd=True, residual=True) ** 2)
+
+    def f_comp(x, w1):
+        return jnp.sum((x + fused_leff(x, **{**p, "w1": w1}, interpret=True,
+                                       use_pallas_bwd=True)) ** 2)
+
+    np.testing.assert_allclose(float(f_res(x, p["w1"])),
+                               float(f_comp(x, p["w1"])), rtol=1e-6)
+    g1 = jax.grad(f_res, argnums=(0, 1))(x, p["w1"])
+    g2 = jax.grad(f_comp, argnums=(0, 1))(x, p["w1"])
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 # ------------------------------------------------------------ fused LeFF ----
 
 def _leff_params(rng, c, ch):

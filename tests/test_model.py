@@ -111,6 +111,37 @@ def test_swin_layer_forward(shift):
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+@pytest.mark.parametrize("kwargs", [
+    dict(token_projection="conv"),   # separable-conv q/k/v (conv_projection.py)
+    dict(token_mlp="ffn"),           # plain MLP FFN (multi_layer_perceptron.py)
+    dict(use_se_layer=True),         # SE gate after the out-proj (squeeze_and_excitation.py)
+], ids=["conv-proj", "ffn-mlp", "se-layer"])
+def test_swin_layer_variants(kwargs):
+    """The reference's non-default layer options (options.py:
+    --token_projection conv / --token_mlp ffn / SE) run forward+backward and
+    create the variant's parameters. dim=32 so the SE bottleneck
+    (dim // reduction, reduction=16) is non-empty — same constraint as the
+    reference's nn.Linear(channel, channel // reduction)."""
+    dim = 32
+    m = SwinLayer(dim=dim, input_resolution=(8, 8), heads=2, window_size=4,
+                  shift_size=2, **kwargs)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 8, 8, dim)),
+                    jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    names = str(jax.tree_util.tree_structure(params))
+    if "token_projection" in kwargs:
+        assert "to_k" in names  # separate k/v convs exist only on the conv path
+    if "use_se_layer" in kwargs:
+        assert "SELayer" in names
+
+    def loss(p):
+        return jnp.mean(m.apply(p, x) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
+
+
 def test_faf_block_reference_frame_not_gated():
     """Frame 0 passes through ungated; a constant burst fuses to a finite map."""
     m = FAFBlock(num_feats=8, num_frames=3)
@@ -242,6 +273,22 @@ def test_fused_tail_matches_naive():
     # the rearranged kernel of a zero kernel is zero (zero-init preserved)
     assert float(jnp.max(jnp.abs(
         rearrange_after_shuffle(jnp.zeros_like(wt))))) == 0.0
+
+    # rectangular input: the composed-conv path with its pasted border ring
+    # (different strip/corner geometry than the square case above)
+    x2 = jnp.asarray(rng.normal(size=(1, 16, 24, d)).astype(np.float32))
+    naive2 = conv(pixel_shuffle(conv(pixel_shuffle(conv(x2, w0, b0), 2),
+                                     w1, b1), 2), wt, bt)
+    fused2 = fused_tail_x4(x2, w0, b0, w1, b1, wt, bt, jnp.float32)
+    np.testing.assert_allclose(np.asarray(fused2), np.asarray(naive2),
+                               atol=1e-5)
+
+    # zero-init tail conv -> composed kernel and bias are exactly zero, so
+    # the output is exactly bt (the zero-init head invariant survives the
+    # composition)
+    z = fused_tail_x4(x2, w0, b0, w1, b1, jnp.zeros_like(wt),
+                      jnp.full_like(bt, 0.25), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(z), 0.25)
 
 
 def test_faf_gate_matches_materialized_form():
