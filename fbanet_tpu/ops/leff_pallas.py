@@ -297,16 +297,39 @@ def _leff_bwd_kernel(xp_ref, xc_ref, xn_ref, gp_ref, gc_ref, gn_ref, lns_ref,
     db2_ref[...] += rowsum(g_int.astype(f32))
 
 
+def _pick_fwd_rows(h: int, w: int, c: int, ch: int,
+                   vmem_budget: int = 11 * 2**20) -> int | None:
+    """Largest strip height (divisor of h, <= _ROWS) whose forward-kernel
+    live set fits the scoped-VMEM budget; None -> XLA fallback.
+
+    Live f32 temps per strip: y/h1(+padded copy)/acc/h2 at hidden width plus
+    LN temps at C. The 16 MB scoped-vmem limit was measured to overflow by
+    ~84 KB at rows=8 for the W=160/Ch=512 decoder shape once the in-kernel
+    residual add extended the input block's live range — rows=4 fits it.
+    """
+    for rows in range(min(_ROWS, h), 0, -1):
+        if h % rows:
+            continue
+        est = ((rows + 2) * w * ch * 4 * 3      # h1 + padded copy + dz/acc
+               + (rows + 2) * w * c * 4 * 2     # x/y LN temps
+               + rows * w * ch * 4 * 2)         # acc/h2
+        if est <= vmem_budget:
+            return rows
+    return None
+
+
 def _pick_bwd_rows(h: int, w: int, ch: int) -> int:
     """Strip height for the backward kernel: it holds ~7 (rows+4, W, Ch) f32
     buffers live (h1/z1/z2/dz2/dh1 + temporaries), so large hidden widths
     need shorter strips to stay inside VMEM (measured: rows=8 at W=80,
     Ch=1024 allocates 28 MB and OOMs the 16 MB budget)."""
     for r in (8, 4, 2, 1):
-        # 12.5 MB budget: leaves headroom for the x/g input blocks and the
-        # accumulators (measured: a 15 MB budget overshot by 0.4 MB inside
-        # the full train step)
-        if h % r == 0 and (r + 4) * w * ch * 4 * 7.5 <= 12.5 * 2**20:
+        # 9.5 MB budget: the estimate runs ~1.6x below the compiler's
+        # scoped-vmem accounting (measured r3: an estimated 10.3 MB block
+        # allocated 16.08 MB against the 16 MB limit once the fused
+        # residual/2-D attention graph surrounded it), so the budget leaves
+        # that factor in headroom
+        if h % r == 0 and (r + 4) * w * ch * 4 * 7.5 <= 9.5 * 2**20:
             return r
     return 1
 
@@ -322,7 +345,8 @@ def _pick_bwd_blocks(h: int, w: int, ch: int) -> tuple[int, int]:
     while wb >= 8:
         for r in (8, 4, 2):
             eff_w = wb if wb == w else wb + 4  # column halo when blocked
-            if h % r == 0 and (r + 4) * eff_w * ch * 4 * 7.5 <= 12.5 * 2**20:
+            # 9.5 MB: see _pick_bwd_rows (estimate ~1.6x below actual)
+            if h % r == 0 and (r + 4) * eff_w * ch * 4 * 7.5 <= 9.5 * 2**20:
                 return r, wb
         if wb % 2:
             break
@@ -652,16 +676,18 @@ def fused_leff(x: Array, ln_scale: Array, ln_bias: Array, w1: Array,
     its math is pinned by dedicated tests that opt in explicitly.
     """
     b, h, w, c = x.shape
+    ch = w1.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if use_pallas_bwd is None:
         use_pallas_bwd = not interpret
-    if h % _ROWS != 0:
+    rows = _pick_fwd_rows(h, w, c, ch)
+    if rows is None:
         out = leff_reference(x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2,
                              compute_dtype=compute_dtype)
         return x + out if residual else out
     cfg = _LeffStatic(compute_dtype=jnp.dtype(compute_dtype).name,
-                      rows=_ROWS, interpret=bool(interpret),
+                      rows=rows, interpret=bool(interpret),
                       use_pallas_bwd=bool(use_pallas_bwd),
                       residual=bool(residual))
     return _fused(cfg, x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2)
