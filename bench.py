@@ -11,7 +11,7 @@ Pipeline measured per iteration, matching BASELINE.md's north-star:
 All fused into one jitted program, bf16 compute / f32 params.
 
 Also reported in the same JSON line (VERDICT r1 items 6 and 9):
-  - train_samples_per_sec_chip          (train step, B=8, remat)
+  - train_samples_per_sec_chip          (train step, B=8, no remat — r3)
   - train_samples_per_sec_chip_ecc      (train step with in-step ECC align)
   - loader_bursts_per_sec               (host data pipeline, B=16 x 14x160px)
 
@@ -117,7 +117,7 @@ def bench_train(batch: int, frames: int, size: int, embed: int,
         from fbanet_tpu.ops.registration import online_register
 
     cfg = ModelConfig(num_frames=frames, img_size=size, embed_dim=embed,
-                      window_size=8, dtype="bfloat16", remat=True)
+                      window_size=8, dtype="bfloat16")  # remat: config default
     tcfg = TrainConfig()
     model, params = init_model(cfg, jax.random.key(0))
     tx = optax.adamw(tcfg.lr_initial, weight_decay=tcfg.weight_decay)

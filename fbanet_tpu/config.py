@@ -44,9 +44,14 @@ class ModelConfig:
     # (ops/attention_pallas.py), "xla" = composed flax ops, "auto" = pallas
     # on TPU / xla elsewhere. The parameter tree is identical either way.
     attention_impl: Literal["auto", "xla", "pallas"] = "auto"
-    remat: bool = True  # rematerialize attention layers in the backward pass
-    # (jax.checkpoint per SwinLayer: trades ~15% step time for the activation
-    # memory that otherwise kills >3-sample/chip training at 160px)
+    remat: bool = False  # rematerialize attention layers in the backward pass
+    # (jax.checkpoint per SwinLayer). Default OFF since r3: the fused Pallas
+    # kernels' custom_vjp saves only layer INPUTS (~26 MB/layer at B=8
+    # 160px), so the remat that once rescued >3-sample/chip training (the
+    # XLA path materializes [G,N,N] attention probs) now buys little memory
+    # and costs a full re-forward in the backward — measured 326 -> 306 ms
+    # per B=8 train step by turning it off. Re-enable for very large
+    # batch/resolution on small-HBM parts.
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

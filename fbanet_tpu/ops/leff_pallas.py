@@ -338,9 +338,11 @@ def _pick_bwd_blocks(h: int, w: int, ch: int) -> tuple[int, int]:
     """(rows, block_width) for the backward kernel. Prefers full-width row
     strips (cheapest halo traffic); when the VMEM budget forces rows < 2 —
     the +-2-row halo needs >= 2 rows per strip — it halves the width and
-    retries with the column-blocked kernel (r2 VERDICT item 5: the two
-    largest decoder shapes, W=160/Ch=512 and W=80/Ch=1024, only fit with
-    column blocking)."""
+    retries with the column-blocked kernel (the two largest decoder shapes,
+    W=160/Ch=512 and W=80/Ch=1024, only fit with column blocking). NOTE:
+    `_fused_bwd` sends column-blocked results (wb < w) to the XLA vjp
+    instead — measured slower than XLA at both such shapes (see dispatch
+    comment there); the 2-D kernel remains available for explicit use."""
     wb = w
     while wb >= 8:
         for r in (8, 4, 2):
@@ -628,17 +630,17 @@ def _fused_fwd(cfg, *args):
 
 def _fused_bwd(cfg, residuals, g):
     x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2 = residuals
-    # full-width row strips when the +-2-row halo fits (>= 2 rows/strip);
-    # otherwise the column-blocked 2-D kernel (r2's two fallback shapes —
-    # the decoder layers — now take this path instead of the XLA vjp)
+    # Dispatch policy (measured on v5e, B=8 SwinGroups, fwd+bwd ms/group):
+    # full-width row strips win even at 2 rows (d64@160: pallas 14.3 vs XLA
+    # 17.0; d128@80: 5.06 vs 5.23), but when the VMEM budget forces COLUMN
+    # blocking the tiny haloed blocks lose to the XLA vjp (d128@160: 49.1 vs
+    # 40.3; d256@80: 28.2 vs 19.9) — so the column-blocked 2-D kernel is
+    # kept only as an explicit opt-in for tests, and those shapes take the
+    # XLA path here.
     rows, wb = _pick_bwd_blocks(x.shape[1], x.shape[2], w1.shape[1])
-    if cfg.use_pallas_bwd and rows >= 2:
-        if wb == x.shape[2]:
-            grads = _pallas_backward(cfg, x, g, ln_scale, ln_bias, w1, b1,
-                                     wdw, bdw, w2)
-        else:
-            grads = _pallas_backward_2d(cfg, x, g, ln_scale, ln_bias, w1, b1,
-                                        wdw, bdw, w2, rows, wb)
+    if cfg.use_pallas_bwd and rows >= 2 and wb == x.shape[2]:
+        grads = _pallas_backward(cfg, x, g, ln_scale, ln_bias, w1, b1,
+                                 wdw, bdw, w2)
         (dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2) = grads
         if cfg.residual:  # y = x + f(x) -> dx gains the incoming cotangent
             dx = dx + g.astype(dx.dtype)

@@ -386,9 +386,10 @@ def test_leff_pallas_backward_all_grads():
 
 
 def test_leff_pallas_backward_2d_all_grads():
-    """The column-blocked 2-D backward kernel (used for the decoder shapes
-    whose full-width strips don't fit VMEM) matches autodiff through the XLA
-    reference on every gradient."""
+    """The column-blocked 2-D backward kernel matches autodiff through the
+    XLA reference on every gradient. (Since the r3 dispatch change the
+    production path sends column-blocked shapes to the XLA vjp — measured
+    faster — so this kernel is explicit-opt-in; the parity proof stays.)"""
     from fbanet_tpu.ops.leff_pallas import (
         _LeffStatic,
         _pallas_backward_2d,
@@ -415,8 +416,9 @@ def test_leff_pallas_backward_2d_all_grads():
 
 
 def test_leff_bwd_block_picker_covers_decoder_shapes():
-    """The r2 fallback shapes (decoder layers) now get a >=2-row block via
-    column halving; encoder shapes keep full-width strips."""
+    """Picker invariants: decoder shapes need column halving (wb < w — the
+    signal _fused_bwd uses to dispatch those to the XLA vjp); encoder
+    shapes keep full-width strips (where the Pallas bwd measured faster)."""
     from fbanet_tpu.ops.leff_pallas import _pick_bwd_blocks
 
     # decoder shapes that previously fell back to the XLA vjp

@@ -49,6 +49,26 @@ def test_gw_loss_matches_torch():
     assert np.isclose(got, expected, rtol=1e-5)
 
 
+def test_sobel_matches_conv_form():
+    """The slice-add Sobel equals the depthwise-conv correlation with the
+    documented _SOBEL_X/_SOBEL_Y kernels (orientation included); non-square
+    input guards against axis mixups."""
+    from jax import lax
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 12, 15, 3)).astype(np.float32))
+    gx, gy = losses._sobel_gradients(x)
+    kx = jnp.tile(losses._SOBEL_X[:, :, None, None], (1, 1, 1, 3))
+    ky = jnp.tile(losses._SOBEL_Y[:, :, None, None], (1, 1, 1, 3))
+    dn = lax.conv_dimension_numbers(x.shape, kx.shape, ("NHWC", "HWIO", "NHWC"))
+    cx = lax.conv_general_dilated(x, kx, (1, 1), [(1, 1), (1, 1)],
+                                  dimension_numbers=dn, feature_group_count=3)
+    cy = lax.conv_general_dilated(x, ky, (1, 1), [(1, 1), (1, 1)],
+                                  dimension_numbers=dn, feature_group_count=3)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(cx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(cy), atol=1e-5)
+
+
 def test_tv_loss_constant_image_is_zero():
     x = jnp.full((2, 8, 8, 3), 0.7)
     assert float(losses.tv_loss(x)) == 0.0

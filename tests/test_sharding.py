@@ -108,6 +108,69 @@ def test_online_align_train_step_sharded():
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
 
 
+def test_pallas_forward_sharded_matches_single():
+    """Fused Pallas kernels under GSPMD batch sharding (ADVICE r2 low item:
+    pallas_call under a sharded mesh was only exercised via the XLA path).
+
+    CPU runs the kernels in interpret mode, but the partitioning machinery
+    (GSPMD propagating a batch-sharded operand into pallas_call) is the
+    same code path a real multi-chip TPU mesh uses."""
+    mesh = make_mesh()
+    cfg = TINY.replace(attention_impl="pallas")
+    model, params = init_model(cfg, jax.random.key(0))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(8, 2, 16, 16, 3)).astype(np.float32))
+    fwd = jax.jit(lambda p, v: model.apply(p, v, deterministic=True))
+    y1 = np.asarray(fwd(params, x))
+    y2 = np.asarray(fwd(jax.device_put(params, replicated_sharding(mesh)),
+                        jax.device_put(x, batch_sharding(mesh))))
+    np.testing.assert_allclose(y1, y2, atol=3e-5)
+
+
+def test_pallas_train_grads_under_shard_map():
+    """Explicit shard_map data parallelism through the fused Pallas kernels
+    (forward + custom-vjp backward + psum): each device runs the kernels on
+    its local batch shard by construction — the fallback pattern for real
+    multi-chip DP if GSPMD ever mishandles pallas_call partitioning."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from fbanet_tpu.losses import fbanet_training_loss
+    from fbanet_tpu.parallel.mesh import DATA_AXIS
+
+    mesh = make_mesh()
+    cfg = TINY.replace(attention_impl="pallas")
+    model, params = init_model(cfg, jax.random.key(0))
+    rng = np.random.default_rng(4)
+    lr = jnp.asarray(rng.uniform(size=(8, 2, 16, 16, 3)).astype(np.float32))
+    hr = jnp.asarray(rng.uniform(size=(8, 64, 64, 3)).astype(np.float32))
+
+    def local_loss(p, x, y):
+        pred = model.apply(p, x, deterministic=True)
+        return fbanet_training_loss(pred, y)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, so shard_map's replication checker cannot see through them
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+             out_specs=(P(), P()), check_vma=False)
+    def loss_and_grad_dp(p, x, y):
+        loss, g = jax.value_and_grad(local_loss)(p, x, y)
+        return (jax.lax.pmean(loss, DATA_AXIS),
+                jax.lax.pmean(g, DATA_AXIS))
+
+    loss1, g1 = jax.jit(jax.value_and_grad(local_loss))(params, lr, hr)
+    loss2, g2 = loss_and_grad_dp(params, lr, hr)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    gscale = max(float(np.abs(np.asarray(v)).max()) for v in jax.tree.leaves(g1))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5 * gscale)
+
+
 def test_online_align_eval_step_sharded():
     from fbanet_tpu.train import make_eval_step
 
