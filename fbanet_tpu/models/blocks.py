@@ -276,26 +276,32 @@ class FAFBlock(nn.Module):
         # affinity at 1/C the FLOPs with no [B*F, H, W, C] embedding tensors
         # (profiled: the materialized form cost 7.2 ms of the 49 ms forward
         # at B=4). Gradients are identical (the reduction is linear).
-        wa, ba = _ConvParams((3, 3), c, c, param_dtype=self.param_dtype,
-                             name="temporal_attn0")()
-        wb, bb = _ConvParams((3, 3), c, c, param_dtype=self.param_dtype,
-                             name="temporal_attn1")()
-
-        def conv_sum(x: Array, wk: Array, bsum: Array) -> Array:
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
-            y = jax.lax.conv_general_dilated(
-                x, wk, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
-            return y + bsum.astype(y.dtype)
+        #
+        # Exact cancellation (also true of the reference's formulation): the
+        # gate is sigmoid(|affinity_k - affinity_0|) with affinity_k =
+        # conv_b(x_k) - conv_a(x_0), so the reference-frame embedding
+        # conv_a (temporal_attn0) AND both conv biases cancel in the
+        # difference: delta = |conv_b(x_k) - conv_b(x_0)|, bias-free. They
+        # are therefore dropped from the computation — their parameters
+        # stay declared (checkpoint-shape parity) and their true gradient is
+        # exactly 0 where autodiff through the materialized form yields fp
+        # cancellation residue ~1e-10 (verified numerically; torch trains
+        # the same parameters by that same noise, i.e. effectively not at
+        # all). Measured: the dropped conv_a wgrad alone took XLA a 23-min
+        # compile at B=8/F=14/160px.
+        _wa, _ba = _ConvParams((3, 3), c, c, param_dtype=self.param_dtype,
+                               name="temporal_attn0")()
+        wb, _bb = _ConvParams((3, 3), c, c, param_dtype=self.param_dtype,
+                              name="temporal_attn1")()
 
         xd = frames.astype(self.dtype)
-        wsa = jnp.sum(wa, axis=3, keepdims=True).astype(self.dtype)
         wsb = jnp.sum(wb, axis=3, keepdims=True).astype(self.dtype)
-        aff_ref = conv_sum(xd[:, 0], wsa, jnp.sum(ba))        # [B,H,W,1]
-        aff_all = conv_sum(xd.reshape(b * f, h, w, c), wsb,
-                           jnp.sum(bb)).reshape(b, f, h, w, 1)
-        affinity = aff_all - aff_ref[:, None]                 # [B,F,H,W,1]
-        delta = jnp.abs(affinity - affinity[:, :1])
+        dn = jax.lax.conv_dimension_numbers(
+            (b * f, h, w, c), wsb.shape, ("NHWC", "HWIO", "NHWC"))
+        s_all = jax.lax.conv_general_dilated(
+            xd.reshape(b * f, h, w, c), wsb, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn).reshape(b, f, h, w, 1)
+        delta = jnp.abs(s_all - s_all[:, :1])                 # [B,F,H,W,1]
         gate = nn.sigmoid(delta.astype(jnp.float32)).astype(self.dtype)
         # frame 0 passes through ungated (reference concatenates it back
         # untouched; sigmoid(0)=0.5 would halve it)

@@ -341,3 +341,15 @@ def test_faf_gate_matches_materialized_form():
     np.testing.assert_allclose(np.asarray(aff_sum[..., 0]),
                                np.asarray(jnp.sum(emb_ref, axis=-1)),
                                atol=1e-4)
+
+    # cancellation identity (r3): conv_a (temporal_attn0) and BOTH biases
+    # drop out of the gate — delta = |conv_b(x_k) - conv_b(x_0)| with the
+    # bias-free channel-summed kernel equals the materialized
+    # |affinity_k - affinity_0| exactly (up to fp reassociation)
+    wsb = jnp.sum(wb, axis=3, keepdims=True)
+    s_all = conv(x.reshape(b_ * f_, h_, w_, c_), wsb,
+                 jnp.zeros((1,))).reshape(b_, f_, h_, w_)
+    delta_new = jnp.abs(s_all[:, 1:] - s_all[:, :1])
+    delta_old = jnp.abs(affinity[:, 1:] - affinity[:, :1])
+    np.testing.assert_allclose(np.asarray(delta_new), np.asarray(delta_old),
+                               atol=2e-4)
