@@ -294,14 +294,20 @@ class FAFBlock(nn.Module):
         wb, _bb = _ConvParams((3, 3), c, c, param_dtype=self.param_dtype,
                               name="temporal_attn1")()
 
+        # The channel-summed conv is evaluated DEPTHWISE (kernel [3,3,1,C],
+        # clean C=64 lane layout) followed by a lane reduction, instead of a
+        # C_out=1 conv whose output XLA lays out padded 1->128 lanes (a
+        # 128x-inflated store, and the same pathology in its wgrad). Same
+        # math: sum_c sum_tap x*w reordered.
         xd = frames.astype(self.dtype)
-        wsb = jnp.sum(wb, axis=3, keepdims=True).astype(self.dtype)
+        wdep = jnp.sum(wb, axis=3)[:, :, None, :].astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(
-            (b * f, h, w, c), wsb.shape, ("NHWC", "HWIO", "NHWC"))
-        s_all = jax.lax.conv_general_dilated(
-            xd.reshape(b * f, h, w, c), wsb, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=dn).reshape(b, f, h, w, 1)
-        delta = jnp.abs(s_all - s_all[:, :1])                 # [B,F,H,W,1]
+            (b * f, h, w, c), wdep.shape, ("NHWC", "HWIO", "NHWC"))
+        z = jax.lax.conv_general_dilated(
+            xd.reshape(b * f, h, w, c), wdep, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn, feature_group_count=c)
+        s_all = jnp.sum(z, axis=-1).reshape(b, f, h, w)       # [B,F,H,W]
+        delta = jnp.abs(s_all - s_all[:, :1])[..., None]      # [B,F,H,W,1]
         gate = nn.sigmoid(delta.astype(jnp.float32)).astype(self.dtype)
         # frame 0 passes through ungated (reference concatenates it back
         # untouched; sigmoid(0)=0.5 would halve it)

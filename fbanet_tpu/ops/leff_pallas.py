@@ -87,18 +87,22 @@ def _leff_kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     mul = lax.rsqrt(var + _LN_EPS) * lns_ref[...].astype(jnp.float32)
     y = ((xf - mu) * mul + lnb_ref[...].astype(jnp.float32)).astype(cdtype)
 
-    # Dense C -> Ch + GELU on strip + halo rows
+    # Dense C -> Ch + GELU on strip + halo rows. h1 is kept in the compute
+    # dtype — the XLA reference's exact semantics (leff_reference computes
+    # gelu in cdtype) — which halves the kernel's two largest VMEM temps
+    # (h1 + its W-padded copy at hidden width) and lets the W=160/Ch=512
+    # decoder shape keep 8-row strips under the scoped-VMEM budget.
     y2 = y.reshape((rows + 2) * w, c)
     h1 = jax.nn.gelu(
         jnp.dot(y2, w1_ref[...].astype(cdtype),
                 preferred_element_type=jnp.float32)
-        + b1_ref[...].astype(jnp.float32))
+        + b1_ref[...].astype(jnp.float32)).astype(cdtype)
     h1 = h1.reshape(rows + 2, w, ch)
 
     # zero the halo rows at image boundaries (the conv zero-pads there)
     r = lax.broadcasted_iota(jnp.int32, (rows + 2, 1, 1), 0)
     valid = ((r > 0) | (i > 0)) & ((r < rows + 1) | (i < ni - 1))
-    h1 = jnp.where(valid, h1, 0.0)
+    h1 = jnp.where(valid, h1, jnp.zeros((), cdtype))
 
     # depthwise 3x3, zero padding in W, halo rows in H
     h1p = jnp.pad(h1, ((0, 0), (1, 1), (0, 0)))
@@ -297,22 +301,28 @@ def _leff_bwd_kernel(xp_ref, xc_ref, xn_ref, gp_ref, gc_ref, gn_ref, lns_ref,
     db2_ref[...] += rowsum(g_int.astype(f32))
 
 
-def _pick_fwd_rows(h: int, w: int, c: int, ch: int,
-                   vmem_budget: int = 11 * 2**20) -> int | None:
+def _pick_fwd_rows(h: int, w: int, c: int, ch: int, hbytes: int = 4,
+                   vmem_budget: int = int(13.5 * 2**20)) -> int | None:
     """Largest strip height (divisor of h, <= _ROWS) whose forward-kernel
     live set fits the scoped-VMEM budget; None -> XLA fallback.
 
-    Live f32 temps per strip: y/h1(+padded copy)/acc/h2 at hidden width plus
-    LN temps at C. The 16 MB scoped-vmem limit was measured to overflow by
-    ~84 KB at rows=8 for the W=160/Ch=512 decoder shape once the in-kernel
-    residual add extended the input block's live range — rows=4 fits it.
+    Live temps per strip: h1 (+ its W-padded copy) at the hidden width in
+    the COMPUTE dtype (`hbytes` — 2 for bf16 since r3), the f32 depthwise
+    accumulator, and f32 LN temps at C. The 16 MB scoped-vmem limit was
+    measured to overflow by ~84 KB at rows=8 for the W=160/Ch=512 decoder
+    shape with f32 h1 once the in-kernel residual add extended the input
+    block's live range; with bf16 h1 the same shape fits 8-row strips.
+    Unlike the backward pickers (whose estimate runs ~1.6x below the
+    compiler's scoped accounting), this estimator tracked the compiler
+    ~1:1 in that failure (est 16.6 MB vs 16.08 MB actual), so the budget
+    keeps ~2.5 MB headroom rather than a 1.6x factor.
     """
     for rows in range(min(_ROWS, h), 0, -1):
         if h % rows:
             continue
-        est = ((rows + 2) * w * ch * 4 * 3      # h1 + padded copy + dz/acc
-               + (rows + 2) * w * c * 4 * 2     # x/y LN temps
-               + rows * w * ch * 4 * 2)         # acc/h2
+        est = ((rows + 2) * w * ch * (2 * hbytes + 4)    # h1 + pad + z1
+               + (rows + 2) * w * c * 4 * 2              # x/y LN temps
+               + rows * w * ch * (4 + hbytes))           # acc + h2
         if est <= vmem_budget:
             return rows
     return None
@@ -683,7 +693,8 @@ def fused_leff(x: Array, ln_scale: Array, ln_bias: Array, w1: Array,
         interpret = jax.default_backend() != "tpu"
     if use_pallas_bwd is None:
         use_pallas_bwd = not interpret
-    rows = _pick_fwd_rows(h, w, c, ch)
+    rows = _pick_fwd_rows(h, w, c, ch,
+                          hbytes=jnp.dtype(compute_dtype).itemsize)
     if rows is None:
         out = leff_reference(x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2,
                              compute_dtype=compute_dtype)

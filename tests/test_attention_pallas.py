@@ -415,6 +415,18 @@ def test_leff_pallas_backward_2d_all_grads():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_leff_fwd_row_picker_bf16_production_shapes():
+    """Every bf16 production shape keeps 8-row forward strips (bf16 h1 +
+    the 13.5 MB recalibrated budget); a budget/estimate edit that silently
+    degrades strip heights fails here instead of at bench time."""
+    from fbanet_tpu.ops.leff_pallas import _pick_fwd_rows
+
+    for (h, w, c, ch) in [(160, 160, 64, 256), (80, 80, 128, 512),
+                          (40, 40, 256, 1024), (160, 160, 128, 512),
+                          (80, 80, 256, 1024)]:
+        assert _pick_fwd_rows(h, w, c, ch, hbytes=2) == 8, (h, w, c, ch)
+
+
 def test_leff_bwd_block_picker_covers_decoder_shapes():
     """Picker invariants: decoder shapes need column halving (wb < w — the
     signal _fused_bwd uses to dispatch those to the XLA vjp); encoder
