@@ -24,6 +24,11 @@ from fbanet_tpu.models.layers import (
 from fbanet_tpu.utils import assert_shape
 
 Array = jnp.ndarray
+
+# FAF gate implementation: "xla" (depthwise + lane-reduce form) or "pallas"
+# (fused strip kernel, ops/faf_gate_pallas.py) or "auto" (pallas on TPU).
+# Defaults to the XLA form until the Pallas path is TPU-measured faster.
+_GATE_IMPL_DEFAULT = "xla"
 Dtype = jnp.dtype
 
 
@@ -294,26 +299,20 @@ class FAFBlock(nn.Module):
         wb, _bb = _ConvParams((3, 3), c, c, param_dtype=self.param_dtype,
                               name="temporal_attn1")()
 
-        # The channel-summed conv is evaluated DEPTHWISE (kernel [3,3,1,C],
-        # clean C=64 lane layout) followed by a lane reduction, instead of a
-        # C_out=1 conv whose output XLA lays out padded 1->128 lanes (a
-        # 128x-inflated store, and the same pathology in its wgrad). Same
-        # math: sum_c sum_tap x*w reordered.
+        # The gate evaluation lives in ops/faf_gate_pallas.py: the XLA form
+        # runs the channel-summed conv DEPTHWISE (kernel [3,3,1,C], clean
+        # C=64 lane layout) + a lane reduction — instead of a C_out=1 conv
+        # whose output XLA lays out padded 1->128 lanes (a 128x-inflated
+        # store, and the same pathology in its wgrad) — with frame 0 passing
+        # through ungated (the reference concatenates it back untouched;
+        # sigmoid(0)=0.5 would halve it). A fused Pallas forward exists
+        # behind impl='pallas' (default off until TPU-measured).
+        from fbanet_tpu.ops.faf_gate_pallas import fused_affinity_gate
+
         xd = frames.astype(self.dtype)
-        wdep = jnp.sum(wb, axis=3)[:, :, None, :].astype(self.dtype)
-        dn = jax.lax.conv_dimension_numbers(
-            (b * f, h, w, c), wdep.shape, ("NHWC", "HWIO", "NHWC"))
-        z = jax.lax.conv_general_dilated(
-            xd.reshape(b * f, h, w, c), wdep, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=dn, feature_group_count=c)
-        s_all = jnp.sum(z, axis=-1).reshape(b, f, h, w)       # [B,F,H,W]
-        delta = jnp.abs(s_all - s_all[:, :1])[..., None]      # [B,F,H,W,1]
-        gate = nn.sigmoid(delta.astype(jnp.float32)).astype(self.dtype)
-        # frame 0 passes through ungated (reference concatenates it back
-        # untouched; sigmoid(0)=0.5 would halve it)
-        fidx = jnp.arange(f).reshape(1, f, 1, 1, 1)
-        gate = jnp.where(fidx == 0, jnp.ones((), gate.dtype), gate)
-        guided = xd * gate
+        guided = fused_affinity_gate(xd, jnp.sum(wb, axis=3),
+                                     compute_dtype=self.dtype,
+                                     impl=_GATE_IMPL_DEFAULT)
 
         # --- (b) fusion hourglass ---
         # The reference concatenates all F*C channels then applies a 1x1 conv

@@ -445,3 +445,77 @@ def test_leff_bwd_block_picker_covers_decoder_shapes():
     assert r >= 2 and wb == 80
     r, wb = _pick_bwd_blocks(40, 40, 1024)
     assert r >= 2 and wb == 40
+
+
+# --------------------------------------------------------------------------
+# Fused FAF affinity gate (ops/faf_gate_pallas.py)
+# --------------------------------------------------------------------------
+
+
+def test_faf_gate_pallas_matches_reference():
+    """Pallas gate forward (interpret) == the XLA depthwise+reduce form,
+    including the zero-padded borders, frame-0 passthrough, and the
+    multi-strip halo path (h=80 -> two 40-row strips)."""
+    from fbanet_tpu.ops.faf_gate_pallas import (
+        fused_affinity_gate,
+        gate_reference,
+    )
+
+    rng = np.random.default_rng(10)
+    for (b, f, h, w, c) in [(2, 3, 16, 16, 8), (1, 2, 80, 16, 8)]:
+        x = jnp.asarray(rng.normal(size=(b, f, h, w, c)).astype(np.float32))
+        wsum = jnp.asarray(rng.normal(size=(3, 3, c)).astype(np.float32))
+        got = fused_affinity_gate(x, wsum, compute_dtype=jnp.float32,
+                                  impl="pallas", interpret=True)
+        want = gate_reference(x, wsum, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_faf_gate_pallas_grads_match_reference():
+    """custom_vjp plumbing: grads through the fused gate == autodiff of the
+    XLA form, for both x and wsum."""
+    from fbanet_tpu.ops.faf_gate_pallas import (
+        fused_affinity_gate,
+        gate_reference,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 3, 16, 16, 8)).astype(np.float32))
+    wsum = jnp.asarray(rng.normal(size=(3, 3, 8)).astype(np.float32))
+    gc = jnp.asarray(rng.normal(size=(2, 3, 16, 16, 8)).astype(np.float32))
+
+    def loss_fused(x, wsum):
+        out = fused_affinity_gate(x, wsum, compute_dtype=jnp.float32,
+                                  impl="pallas", interpret=True)
+        return jnp.sum(out * gc)
+
+    def loss_ref(x, wsum):
+        return jnp.sum(gate_reference(x, wsum,
+                                      compute_dtype=jnp.float32) * gc)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(x, wsum)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x, wsum)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_faf_block_gate_impl_flag():
+    """FAFBlock output is identical under the XLA and Pallas gate impls
+    (the flag only changes the execution path)."""
+    from fbanet_tpu.models import blocks as B
+
+    m = B.FAFBlock(num_feats=8, num_frames=3, dtype=jnp.float32)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(2, 3, 16, 16, 8)).astype(np.float32))
+    params = m.init(jax.random.key(0), x)
+    y_xla = m.apply(params, x)
+    orig = B._GATE_IMPL_DEFAULT
+    try:
+        B._GATE_IMPL_DEFAULT = "pallas"
+        y_pal = m.apply(params, x)
+    finally:
+        B._GATE_IMPL_DEFAULT = orig
+    np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_pal),
+                               atol=2e-5, rtol=1e-4)
