@@ -32,7 +32,8 @@ import numpy as np
 
 def align_tree(input_dir: str | Path, output_dir: str | Path, *,
                motion: str = "translation", levels: int = 3,
-               iters_per_level: int = 25, report_metrics: bool = True) -> int:
+               iters_per_level: int = 25, eps: float = 0.0,
+               report_metrics: bool = True) -> int:
     """Align every burst directory under `input_dir`; returns #bursts done.
 
     Expects `input_dir/{burst}/...png` with frame-numbered LR files (either
@@ -69,7 +70,7 @@ def align_tree(input_dir: str | Path, output_dir: str | Path, *,
         if aligner is None:
             aligner = jax.jit(lambda b: align_burst(
                 b, motion=motion, levels=levels,
-                iters_per_level=iters_per_level))
+                iters_per_level=iters_per_level, eps=eps))
         t0 = time.time()
         aligned, _mats, rhos = aligner(burst)
         aligned = np.asarray(aligned)
@@ -104,9 +105,14 @@ def main(argv: list[str] | None = None) -> None:
                    choices=["translation", "euclidean", "affine", "homography"])
     p.add_argument("--levels", type=int, default=3)
     p.add_argument("--iters", type=int, default=25)
+    p.add_argument("--eps", type=float, default=0.0,
+                   help="ECC termination on the correlation increment "
+                        "(cv2 TermCriteria eps; the reference uses 1e-10). "
+                        "0 = fixed iteration count")
     args = p.parse_args(argv)
     n = align_tree(args.input_dir, args.output_dir, motion=args.motion,
-                   levels=args.levels, iters_per_level=args.iters)
+                   levels=args.levels, iters_per_level=args.iters,
+                   eps=args.eps)
     print(f"aligned {n} bursts -> {args.output_dir}")
 
 

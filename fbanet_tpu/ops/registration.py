@@ -12,7 +12,8 @@ one OpenCV implements — maximizing the zero-mean correlation coefficient
 between the template and the warped input. Forward-additive updates with the
 per-pixel Jacobian obtained by `jax.jacfwd` of the warp's coordinate map, so
 one code path serves every motion model. Iterations run in `lax.fori_loop`
-(static trip count — XLA-friendly; OpenCV iterates to an eps instead), f32
+(static trip count — XLA-friendly) or, with `eps > 0`, a `lax.while_loop`
+terminating on the correlation increment (OpenCV's TermCriteria), f32
 throughout (bf16 is numerically unusable here), coarse-to-fine over a Gaussian
 pyramid, vmappable over frames and bursts.
 
@@ -174,11 +175,42 @@ def _warp_translation_mm(stack: Array, p: Array) -> Array:
                       precision=lax.Precision.HIGHEST)
 
 
+def _run_ecc_iters(step, p0: Array, num_iters: int,
+                   eps: float) -> tuple[Array, Array]:
+    """Drive ECC iterations: fixed `fori_loop` when eps == 0 (static trip
+    count — today's default), or a `while_loop` terminating when the
+    correlation increment |rho - rho_prev| drops below `eps` — OpenCV's
+    criterion (cv2 findTransformECC: TermCriteria(COUNT+EPS, iters, eps),
+    reference: fba_net/homography_alignment.py:38-44 with eps 1e-10).
+    Under vmap the while_loop runs until every lane terminates, so the
+    speedup is the batch's slowest frame — still a win when the whole
+    burst converges early."""
+    if eps <= 0.0:
+        def fbody(_i, carry):
+            p, _rho = carry
+            return step(p)
+        return lax.fori_loop(0, num_iters, fbody, (p0, jnp.float32(0.0)))
+
+    def cond(carry):
+        i, _p, _rho, drho = carry
+        return (i < num_iters) & (drho > eps)
+
+    def wbody(carry):
+        i, p, rho, _drho = carry
+        p2, rho2 = step(p)
+        return i + 1, p2, rho2, jnp.abs(rho2 - rho)
+
+    _, p, rho, _ = lax.while_loop(
+        cond, wbody, (jnp.int32(0), p0, jnp.float32(0.0), jnp.float32(jnp.inf)))
+    return p, rho
+
+
 def _ecc_translation_level(
     template: Array,
     image: Array,
     p0: Array,
     num_iters: int,
+    eps: float = 0.0,
 ) -> tuple[Array, Array]:
     """Translation-model ECC at one level using the matmul warp.
 
@@ -196,8 +228,7 @@ def _ecc_translation_level(
     gx, gy = _image_gradients(image)
     stack = jnp.stack([image, gx, gy])  # warp all three in one matmul pass
 
-    def body(_i, carry):
-        p, _rho = carry
+    def step(p):
         warped = _warp_translation_mm(stack, p)
         iw = warped[0].reshape(-1)
         ixw = warped[1].reshape(-1)
@@ -227,8 +258,7 @@ def _ecc_translation_level(
         rho = corr / (t_norm * jnp.sqrt(i_norm2))
         return p + dp, rho
 
-    p, rho = lax.fori_loop(0, num_iters, body, (p0, jnp.float32(0.0)))
-    return p, rho
+    return _run_ecc_iters(step, p0, num_iters, eps)
 
 
 def _ecc_single_level(
@@ -237,10 +267,11 @@ def _ecc_single_level(
     p0: Array,
     motion: Motion,
     num_iters: int,
+    eps: float = 0.0,
 ) -> tuple[Array, Array]:
     """Run ECC iterations at one pyramid level. Returns (params, rho)."""
     if motion == "translation":
-        return _ecc_translation_level(template, image, p0, num_iters)
+        return _ecc_translation_level(template, image, p0, num_iters, eps)
     h, w = template.shape
     # On TPU, route the per-iteration warps through the Pallas one-hot-matmul
     # kernel: XLA's gather with in-program indices costs ~37 ms/frame here
@@ -270,8 +301,7 @@ def _ecc_single_level(
             return warp_burst_coords_pallas(stacked[None], cyx[None])[0]
         return warp_image(stacked, cyx)
 
-    def body(_i, carry):
-        p, _rho = carry
+    def step(p):
         cxy = coords_fn(p)  # [2, N]
         cyx = jnp.stack([cxy[1], cxy[0]], axis=-1).reshape(h, w, 2)
         warped = warp_stacked(cyx)
@@ -303,8 +333,7 @@ def _ecc_single_level(
         rho = corr / (t_norm * jnp.sqrt(i_norm2))
         return p + dp, rho
 
-    p, rho = lax.fori_loop(0, num_iters, body, (p0, jnp.float32(0.0)))
-    return p, rho
+    return _run_ecc_iters(step, p0, num_iters, eps)
 
 
 @typed
@@ -315,6 +344,7 @@ def ecc_align(
     motion: Motion = "translation",
     levels: int = 3,
     iters_per_level: int = 25,
+    eps: float = 0.0,
     init_matrix: Float[JArray, "3 3"] | None = None,
 ) -> tuple[Float[JArray, "3 3"], Float[JArray, ""]]:
     """Estimate the warp aligning `image` to `template`.
@@ -327,7 +357,10 @@ def ecc_align(
 
     Equivalent of `cv2.findTransformECC` (reference:
     fba_net/homography_alignment.py:38-44 uses 100 iters, eps 1e-10; three
-    pyramid levels mirror fba_net/registration/pyramid.py:52-64).
+    pyramid levels mirror fba_net/registration/pyramid.py:52-64). With
+    `eps > 0` iterations terminate when the correlation increment drops
+    below eps — cv2's TermCriteria(COUNT+EPS) semantics; eps == 0 keeps a
+    fixed trip count (static, XLA-friendliest).
     """
     template = template.astype(jnp.float32)
     image = image.astype(jnp.float32)
@@ -343,7 +376,7 @@ def ecc_align(
     for lvl in reversed(range(levels)):
         p = matrix_to_params(m, motion)
         p, rho = _ecc_single_level(pyr_t[lvl], pyr_i[lvl], p, motion,
-                                   iters_per_level)
+                                   iters_per_level, eps)
         m = params_to_matrix(p, motion)
         if lvl > 0:
             m = _scale_matrix(m, 2.0)
@@ -395,6 +428,7 @@ def align_burst(
     motion: Motion = "translation",
     levels: int = 3,
     iters_per_level: int = 25,
+    eps: float = 0.0,
     interp: str = "bilinear",
 ) -> tuple[Array, Array, Array]:
     """Align every frame of `[F, H, W, C]` (or `[B, F, H, W, C]`) to frame 0.
@@ -407,7 +441,7 @@ def align_burst(
     if burst.ndim == 5:
         fn = jax.vmap(lambda b: align_burst(
             b, motion=motion, levels=levels, iters_per_level=iters_per_level,
-            interp=interp))
+            eps=eps, interp=interp))
         return fn(burst)
     f = burst.shape[0]
     gray = rgb_to_gray(burst)  # [F, H, W]
@@ -415,7 +449,7 @@ def align_burst(
 
     est = jax.vmap(lambda img: ecc_align(
         template, img, motion=motion, levels=levels,
-        iters_per_level=iters_per_level))
+        iters_per_level=iters_per_level, eps=eps))
     mats, rhos = est(gray[1:])
 
     mats = jnp.concatenate([jnp.eye(3, dtype=jnp.float32)[None], mats])

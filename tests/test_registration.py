@@ -203,3 +203,49 @@ def test_ecc_recovers_similarity():
     # structure preserved: m[0,0]==m[1,1], m[0,1]==-m[1,0]
     m = np.asarray(m)
     assert abs(m[0, 0] - m[1, 1]) < 1e-5 and abs(m[0, 1] + m[1, 0]) < 1e-5
+
+
+def test_ecc_eps_termination_matches_fixed_iters():
+    """cv2-style eps termination (r3): on a converged pair, the eps run
+    reaches the same transform as the full fixed-iteration run, and a huge
+    eps stops immediately after the first increment (different, worse
+    alignment) — proving the while_loop actually gates on the correlation
+    increment. Also exercised under vmap (align_burst)."""
+    import jax
+
+    from fbanet_tpu.ops.registration import align_burst, ecc_align
+
+    rng = np.random.default_rng(42)
+    hr = rng.uniform(size=(96, 96)).astype(np.float32)
+    # smooth it so gradients are informative
+    k = np.ones((5, 5), np.float32) / 25.0
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    sm = sliding_window_view(np.pad(hr, 2, mode="edge"), (5, 5))
+    template = jnp.asarray((sm * k).sum((-1, -2)))
+    image = jnp.asarray(np.roll(np.asarray(template), (2, -2), axis=(0, 1)))
+
+    m_fixed, rho_fixed = jax.jit(
+        lambda t, i: ecc_align(t, i, motion="translation", levels=2,
+                               iters_per_level=30))(template, image)
+    m_eps, rho_eps = jax.jit(
+        lambda t, i: ecc_align(t, i, motion="translation", levels=2,
+                               iters_per_level=30, eps=1e-7))(template, image)
+    assert float(rho_fixed) > 0.97
+    np.testing.assert_allclose(np.asarray(m_eps), np.asarray(m_fixed),
+                               atol=2e-3)
+
+    # a huge eps terminates after ~1 iteration: visibly different transform
+    m_1, _ = jax.jit(
+        lambda t, i: ecc_align(t, i, motion="translation", levels=2,
+                               iters_per_level=30, eps=10.0))(template, image)
+    assert not np.allclose(np.asarray(m_1), np.asarray(m_fixed), atol=1e-3)
+
+    # batched path (vmap over frames/bursts) compiles and runs with eps
+    burst = jnp.stack([template[None].repeat(3, 0)] * 1)[..., None]
+    burst = jnp.repeat(burst, 3, axis=-1)  # [1, 3, H, W, 3]
+    aligned, mats, rhos = jax.jit(
+        lambda b: align_burst(b, motion="translation", levels=2,
+                              iters_per_level=10, eps=1e-6))(burst)
+    assert aligned.shape == burst.shape
+    assert np.all(np.isfinite(np.asarray(mats)))
