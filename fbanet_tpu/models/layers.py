@@ -623,7 +623,16 @@ class Downsample(nn.Module):
 
 class Upsample(nn.Module):
     """2x2 stride-2 transposed conv doubling resolution
-    (reference: fba_net/layers/upsample_flatten.py)."""
+    (reference: fba_net/layers/upsample_flatten.py).
+
+    Computed as ONE matmul C -> 4*features + depth-to-space: a 2x2/s2
+    transposed conv has non-overlapping output footprints, so
+    out[2y+d, 2x+e, o] = sum_i x[y, x, i] * kernel[1-d, 1-e, i, o] exactly
+    (the flip is lax.conv_transpose's kernel convention — pinned by
+    tests/test_model.py::test_upsample_matches_conv_transpose). This avoids
+    XLA's zero-dilated-input conv lowering (4x wasted MACs on the MXU).
+    The parameter tree is identical to the nn.ConvTranspose form
+    (ConvTranspose_0/{kernel [2,2,C,F], bias [F]})."""
 
     features: int
     dtype: Dtype = jnp.float32
@@ -631,8 +640,14 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
-                                dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        b, h, w, c = x.shape
+        kernel, bias = _ConvParams((2, 2), c, self.features,
+                                   param_dtype=self.param_dtype,
+                                   name="ConvTranspose_0")()
+        kf = kernel[::-1, ::-1].astype(self.dtype)  # [2, 2, C, F]
+        z = jnp.einsum("bhwi,deio->bhdweo", x.astype(self.dtype), kf)
+        z = z.reshape(b, 2 * h, 2 * w, self.features)
+        return z + bias.astype(self.dtype)
 
 
 class ConvProj(nn.Module):

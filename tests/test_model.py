@@ -353,3 +353,23 @@ def test_faf_gate_matches_materialized_form():
     delta_old = jnp.abs(affinity[:, 1:] - affinity[:, :1])
     np.testing.assert_allclose(np.asarray(delta_new), np.asarray(delta_old),
                                atol=2e-4)
+
+
+def test_upsample_matches_conv_transpose():
+    """The matmul+depth-to-space Upsample == nn.ConvTranspose(2,2,s2) on the
+    SAME parameters (identical tree), including bias."""
+    from flax import linen as nn
+
+    from fbanet_tpu.models.layers import Upsample
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(2, 5, 7, 6)).astype(np.float32))
+    up = Upsample(features=10)
+    params = up.init(jax.random.key(3), x)
+    got = up.apply(params, x)
+
+    ct = nn.ConvTranspose(10, (2, 2), strides=(2, 2))
+    want = ct.apply({"params": params["params"]["ConvTranspose_0"]}, x)
+    assert got.shape == (2, 10, 14, 10)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
