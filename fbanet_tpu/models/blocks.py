@@ -24,11 +24,6 @@ from fbanet_tpu.models.layers import (
 from fbanet_tpu.utils import assert_shape
 
 Array = jnp.ndarray
-
-# FAF gate implementation: "xla" (depthwise + lane-reduce form) or "pallas"
-# (fused strip kernel, ops/faf_gate_pallas.py) or "auto" (pallas on TPU).
-# Defaults to the XLA form until the Pallas path is TPU-measured faster.
-_GATE_IMPL_DEFAULT = "xla"
 Dtype = jnp.dtype
 
 
@@ -258,6 +253,10 @@ class FAFBlock(nn.Module):
 
     num_feats: int
     num_frames: int = 14
+    # gate evaluation: "xla" (depthwise + lane-reduce form) or "pallas"
+    # (fused strip kernel, ops/faf_gate_pallas.py) or "auto" (pallas on
+    # TPU). "xla" until the Pallas path is TPU-measured faster.
+    gate_impl: Literal["auto", "xla", "pallas"] = "xla"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -312,7 +311,7 @@ class FAFBlock(nn.Module):
         xd = frames.astype(self.dtype)
         guided = fused_affinity_gate(xd, jnp.sum(wb, axis=3),
                                      compute_dtype=self.dtype,
-                                     impl=_GATE_IMPL_DEFAULT)
+                                     impl=self.gate_impl)
 
         # --- (b) fusion hourglass ---
         # The reference concatenates all F*C channels then applies a 1x1 conv

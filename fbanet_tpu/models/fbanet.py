@@ -58,8 +58,8 @@ class FBANet(nn.Module):
         feats = xf.reshape(b, f, h, w, d)
 
         # --- federated affinity fusion ---
-        fused = FAFBlock(num_feats=d, num_frames=f, dtype=dtype,
-                         param_dtype=pdtype, name="fusion")(feats)
+        fused = FAFBlock(num_feats=d, num_frames=f, gate_impl=cfg.gate_impl,
+                         dtype=dtype, param_dtype=pdtype, name="fusion")(feats)
 
         # --- input projection + positional dropout ---
         y = ConvProj(d, dtype=dtype, param_dtype=pdtype, name="input_proj")(fused)

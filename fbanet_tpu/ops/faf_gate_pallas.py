@@ -20,8 +20,9 @@ full [3,3,C,C] kernel).
 
 Dispatch: `fused_affinity_gate(..., impl="auto")` resolves to the Pallas
 kernel on TPU and the XLA reference elsewhere, mirroring the other fused
-kernels. `models/blocks.FAFBlock` controls its default via
-`_GATE_IMPL_DEFAULT` there.
+kernels; `ModelConfig.gate_impl` / `FAFBlock.gate_impl` select it per
+model (default "xla" until the kernel is TPU-measured faster). Shapes
+whose strips don't fit the VMEM budget fall back to the XLA form.
 """
 
 from __future__ import annotations
@@ -55,9 +56,13 @@ def gate_reference(x: Array, wsum: Array,
     z = lax.conv_general_dilated(xd.reshape(b * f, h, w, c), wdep, (1, 1),
                                  [(1, 1), (1, 1)], dimension_numbers=dn,
                                  feature_group_count=c)
-    s = jnp.sum(z, axis=-1).reshape(b, f, h, w)
+    # f32 channel reduction: the C_out=1 conv this form replaced accumulated
+    # in f32 on the MXU; a bf16 lane-sum would add ~1e-2 drift that the
+    # |s_k - s_0| cancellation amplifies (and would diverge from the Pallas
+    # kernel's f32 accumulator).
+    s = jnp.sum(z, axis=-1, dtype=jnp.float32).reshape(b, f, h, w)
     delta = jnp.abs(s - s[:, :1])[..., None]
-    gate = jax.nn.sigmoid(delta.astype(jnp.float32)).astype(cdtype)
+    gate = jax.nn.sigmoid(delta).astype(cdtype)
     fidx = jnp.arange(f).reshape(1, f, 1, 1, 1)
     gate = jnp.where(fidx == 0, jnp.ones((), cdtype), gate)
     return xd * gate
@@ -76,7 +81,9 @@ def _strip_affinity(xp, xc, xn, wsum, rows, w, i, ni):
     acc = jnp.zeros((rows, w, x.shape[-1]), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            tap = wsum[ky, kx].astype(jnp.float32)      # [1, C] broadcast
+            # wsum block is [3, 3, 1, C] so each tap stays 2-D ([1, C]) —
+            # Mosaic does not lower rank-1 values (CLAUDE.md)
+            tap = wsum[ky, kx].astype(jnp.float32)
             acc = acc + xw[ky:ky + rows, kx:kx + w] * tap
     return jnp.sum(acc, axis=-1, keepdims=True)         # [rows, W, 1] f32
 
@@ -88,7 +95,7 @@ def _gate_kernel(xp_ref, xc_ref, xn_ref, x0p_ref, x0c_ref, x0n_ref, w_ref,
     fi = pl.program_id(1)
     i = pl.program_id(2)
     ni = pl.num_programs(2)
-    wsum = w_ref[...]  # [3, 3, C] f32 (small, revisited)
+    wsum = w_ref[...]  # [3, 3, 1, C] f32 (small, revisited)
 
     s = _strip_affinity(xp_ref[0].astype(cdtype), xc_ref[0].astype(cdtype),
                         xn_ref[0].astype(cdtype), wsum, rows, w, i, ni)
@@ -105,9 +112,24 @@ class _GateStatic(NamedTuple):
     interpret: bool
 
 
-def _pallas_gate(cfg: _GateStatic, x: Array, wsum: Array) -> Array:
+def _pick_gate_rows(h: int, w: int, c: int, xbytes: int,
+                    vmem_budget: int = 10 * 2**20) -> int | None:
+    """Largest strip height (divisor of h, <= _ROWS) whose block set fits
+    VMEM: 7 (rows, W, C) x-dtype blocks (x_k/x_0 triples + out) plus two
+    f32 padded strips + accumulator per affinity pass. None -> XLA form."""
+    for rows in range(min(_ROWS, h), 0, -1):
+        if h % rows:
+            continue
+        est = (7 * rows * w * c * xbytes
+               + 2 * (rows + 2) * (w + 2) * c * 4   # padded strip copies
+               + rows * w * c * 4)                  # f32 accumulator
+        if est <= vmem_budget:
+            return rows
+    return None
+
+
+def _pallas_gate(cfg: _GateStatic, x: Array, wsum: Array, rows: int) -> Array:
     b, f, h, w, c = x.shape
-    rows = _ROWS if h % _ROWS == 0 else h
     ni = h // rows
     x4 = x.reshape(b * f, h, w, c)
     x0 = x[:, 0]  # [B, H, W, C]
@@ -134,7 +156,7 @@ def _pallas_gate(cfg: _GateStatic, x: Array, wsum: Array) -> Array:
         grid=(b, f, ni),
         in_specs=[spec_k(-1), spec_k(0), spec_k(1),
                   spec_0(-1), spec_0(0), spec_0(1),
-                  pl.BlockSpec((3, 3, c), lambda *_: (0, 0, 0),
+                  pl.BlockSpec((3, 3, 1, c), lambda *_: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (1, rows, w, c),
@@ -143,20 +165,21 @@ def _pallas_gate(cfg: _GateStatic, x: Array, wsum: Array) -> Array:
         out_shape=jax.ShapeDtypeStruct((b * f, h, w, c),
                                        jnp.dtype(cfg.compute_dtype)),
         interpret=cfg.interpret,
-    )(x4, x4, x4, x0, x0, x0, wsum.astype(jnp.float32))
+    )(x4, x4, x4, x0, x0, x0,
+      wsum.reshape(3, 3, 1, c).astype(jnp.float32))
     return out.reshape(b, f, h, w, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(cfg: _GateStatic, x, wsum):
-    return _pallas_gate(cfg, x, wsum)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def _fused(cfg: _GateStatic, x, wsum, rows: int):
+    return _pallas_gate(cfg, x, wsum, rows)
 
 
-def _fused_fwd(cfg, x, wsum):
-    return _pallas_gate(cfg, x, wsum), (x, wsum)
+def _fused_fwd(cfg, x, wsum, rows):
+    return _pallas_gate(cfg, x, wsum, rows), (x, wsum)
 
 
-def _fused_bwd(cfg, residuals, g):
+def _fused_bwd(cfg, rows, residuals, g):
     x, wsum = residuals
     ref = functools.partial(gate_reference,
                             compute_dtype=jnp.dtype(cfg.compute_dtype))
@@ -174,14 +197,19 @@ def fused_affinity_gate(x: Array, wsum: Array, *,
     """Gated burst `x * sigmoid(|s_k - s_0|)` (frame 0 ungated).
 
     x: [B, F, H, W, C]; wsum: [3, 3, C]. impl: 'auto' = Pallas on TPU /
-    XLA elsewhere; 'xla' / 'pallas' force a path.
+    XLA elsewhere; 'xla' / 'pallas' force a path. Shapes whose strips
+    don't fit VMEM fall back to the XLA form.
     """
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown gate impl {impl!r}")
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "xla":
+    rows = _pick_gate_rows(x.shape[2], x.shape[3], x.shape[4],
+                           jnp.dtype(compute_dtype).itemsize)
+    if impl == "xla" or rows is None:
         return gate_reference(x, wsum, compute_dtype=compute_dtype)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     cfg = _GateStatic(compute_dtype=jnp.dtype(compute_dtype).name,
                       interpret=bool(interpret))
-    return _fused(cfg, x, wsum)
+    return _fused(cfg, x, wsum, rows)

@@ -503,19 +503,22 @@ def test_faf_gate_pallas_grads_match_reference():
 
 def test_faf_block_gate_impl_flag():
     """FAFBlock output is identical under the XLA and Pallas gate impls
-    (the flag only changes the execution path)."""
-    from fbanet_tpu.models import blocks as B
+    (the config field only changes the execution path; parameter trees are
+    identical so params transfer directly)."""
+    from fbanet_tpu.models.blocks import FAFBlock
 
-    m = B.FAFBlock(num_feats=8, num_frames=3, dtype=jnp.float32)
     rng = np.random.default_rng(12)
     x = jnp.asarray(rng.normal(size=(2, 3, 16, 16, 8)).astype(np.float32))
-    params = m.init(jax.random.key(0), x)
-    y_xla = m.apply(params, x)
-    orig = B._GATE_IMPL_DEFAULT
-    try:
-        B._GATE_IMPL_DEFAULT = "pallas"
-        y_pal = m.apply(params, x)
-    finally:
-        B._GATE_IMPL_DEFAULT = orig
+    m_xla = FAFBlock(num_feats=8, num_frames=3, gate_impl="xla",
+                     dtype=jnp.float32)
+    m_pal = FAFBlock(num_feats=8, num_frames=3, gate_impl="pallas",
+                     dtype=jnp.float32)
+    params = m_xla.init(jax.random.key(0), x)
+    y_xla = m_xla.apply(params, x)
+    y_pal = m_pal.apply(params, x)
     np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_pal),
                                atol=2e-5, rtol=1e-4)
+
+    with pytest.raises(ValueError):
+        from fbanet_tpu.ops.faf_gate_pallas import fused_affinity_gate
+        fused_affinity_gate(x, jnp.zeros((3, 3, 8)), impl="XLA")
