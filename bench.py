@@ -194,6 +194,49 @@ def bench_loader(batch: int, frames: int, size: int) -> tuple[float, float]:
     return n / dt, cold
 
 
+METRIC_NAME = "bursts_per_sec_per_chip_e2e_align_sr"
+METRIC_UNIT = "14-frame 160px bursts/sec/chip (align+SR, x4 to 640px)"
+
+
+def _init_device(tries: int = 2, delay_s: float = 30.0):
+    """Backend init with one bounded retry (the tunneled-TPU relay can 500
+    spuriously — CLAUDE.md). Returns the device or None if unavailable."""
+    last = None
+    for attempt in range(tries):
+        try:
+            return jax.devices()[0]
+        except Exception as e:  # noqa: BLE001 — any init failure is retryable
+            last = e
+            log(f"backend init failed (attempt {attempt + 1}/{tries}): {e!r}")
+            if attempt + 1 < tries:
+                # jax caches failed-platform init; clear so the retry is real.
+                for clear in ("jax.extend.backend.clear_backends",
+                              "jax.clear_backends"):
+                    try:
+                        mod, fn = clear.rsplit(".", 1)
+                        import importlib
+                        getattr(importlib.import_module(mod), fn)()
+                        break
+                    except Exception:
+                        continue
+                time.sleep(delay_s)
+    log(f"backend unavailable after {tries} attempts: {last!r}")
+    return None
+
+
+def _emit_unavailable(detail: str) -> None:
+    """One parseable JSON line the driver can distinguish from a code failure
+    (VERDICT r3 item 1: never die with a bare stack trace on an outage)."""
+    print(json.dumps({
+        "metric": METRIC_NAME,
+        "value": None,
+        "unit": METRIC_UNIT,
+        "vs_baseline": None,
+        "error": "tpu_unavailable",
+        "detail": detail[:300],
+    }))
+
+
 def main() -> None:
     # batch 8 measured ~21% higher per-burst throughput than batch 4 on v5e
     # (better MXU/VPU occupancy at the low-channel layers)
@@ -204,10 +247,22 @@ def main() -> None:
     train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
     skip_train = os.environ.get("BENCH_SKIP_TRAIN", "") == "1"
 
-    dev = jax.devices()[0]
+    dev = _init_device()
+    if dev is None:
+        _emit_unavailable("backend init: TPU tunnel unavailable")
+        return
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    bursts_per_sec = bench_inference(batch, frames, size, embed)
+    try:
+        bursts_per_sec = bench_inference(batch, frames, size, embed)
+    except Exception as e:  # one retry: the compile relay 500s spuriously
+        log(f"inference bench failed once ({e!r}); retrying in 30s")
+        time.sleep(30.0)
+        try:
+            bursts_per_sec = bench_inference(batch, frames, size, embed)
+        except Exception as e2:
+            _emit_unavailable(f"inference bench failed twice: {e2!r}")
+            return
     log(f"inference: {bursts_per_sec:.3f} bursts/s/chip")
 
     extras = {}
@@ -229,9 +284,9 @@ def main() -> None:
     # measured-ECC-derived, see module docstring + BASELINE.md
     baseline_bursts_per_sec_per_gpu = 6.25
     print(json.dumps({
-        "metric": "bursts_per_sec_per_chip_e2e_align_sr",
+        "metric": METRIC_NAME,
         "value": round(bursts_per_sec, 3),
-        "unit": "14-frame 160px bursts/sec/chip (align+SR, x4 to 640px)",
+        "unit": METRIC_UNIT,
         "vs_baseline": round(bursts_per_sec / baseline_bursts_per_sec_per_gpu, 3),
         **extras,
     }))

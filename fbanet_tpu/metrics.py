@@ -106,6 +106,55 @@ def batch_ssim(pred: Array, target: Array, *, boundary_ignore: int | None = 40) 
     return jnp.mean(ssim(pred, target, boundary_ignore=boundary_ignore))
 
 
+def pixelwise_error(pred: Array, target: Array, *, metric: str = "l1",
+                    boundary_ignore: int | None = None,
+                    valid: Array | None = None) -> Array:
+    """Masked pixel-wise error: l1 / l2 / l2_sqrt / charbonnier, optional
+    boundary crop and `valid`-mask weighting.
+
+    Reference: fba_net/utils/image_utils.py:62-111 (PixelWiseError). Exact
+    semantics preserved, channels-last here:
+      - boundary_ignore crops every spatial edge of pred/gt/valid;
+      - with a `valid` mask the reduction is
+        sum(err * valid) / (sum(valid) * elem_ratio + 1e-12) where
+        elem_ratio = err.size / valid.size — so a per-pixel mask broadcast
+        over C channels weighs each pixel once, matching the torch code;
+      - `l2_sqrt` reduces channels first: mean(sqrt(sum_c (p-g)^2)).
+
+    Reference bug intentionally not reproduced (SURVEY.md §7 policy): the
+    torch code calls `self.loss_fn(pred, gt, reduction="none")` when valid
+    is given, which raises TypeError for its own charbonnier/l2_sqrt
+    closures (image_utils.py:73-86,103) — masked charbonnier/l2_sqrt work
+    here.
+    """
+    pred = _boundary_crop(pred, boundary_ignore)
+    target = _boundary_crop(target, boundary_ignore)
+    if valid is not None and boundary_ignore:
+        b = boundary_ignore
+        valid = valid[..., b:-b, b:-b, :]
+
+    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    if metric == "l1":
+        err = jnp.abs(diff)
+    elif metric == "l2":
+        err = diff * diff
+    elif metric == "l2_sqrt":
+        err = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # channel reduce
+    elif metric == "charbonnier":
+        eps = 1e-3
+        err = jnp.sqrt(diff * diff + eps**2)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    if valid is None:
+        return jnp.mean(err)
+    valid = valid.astype(jnp.float32)
+    if metric == "l2_sqrt" and valid.ndim == err.ndim + 1:
+        valid = valid[..., 0]  # per-pixel mask against the channel-reduced map
+    elem_ratio = err.size / valid.size
+    return (err * valid).sum() / (valid.sum() * elem_ratio + 1e-12)
+
+
 def finite_average(values, total_count: int | None = None) -> float:
     """The reference's metric averaging: sum of *finite* per-image values
     divided by the *total* image count (non-finite images contribute 0).

@@ -211,3 +211,96 @@ def test_merge_tiles_matches_reference(ref_tiles):
 
     got = merge_tiles(hr_tiles, out_h, out_w, psize, overlap)
     np.testing.assert_allclose(got, ref_out, atol=1e-6)
+
+
+# ------------------------------------------------------- pixel-wise error ----
+
+@pytest.fixture(scope="module")
+def ref_image_utils():
+    # image_utils.py cannot be exec'd whole: it imports the absent lpips
+    # package and its module-scope `mySSIM = SSIM(boundary_ignore=40)` hits an
+    # undefined `msssim` name (a reference bug). Extract the PixelWiseError
+    # class alone via ast and exec it with its actual dependencies.
+    import ast
+    import types
+
+    import torch.nn.functional as F
+    from torch import nn
+
+    src = (REFERENCE / "utils/image_utils.py").read_text()
+    tree = ast.parse(src)
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef) and n.name == "PixelWiseError")
+    ns = {"torch": torch, "nn": nn, "F": F}
+    exec(compile(ast.Module(body=[cls], type_ignores=[]),  # noqa: S102
+                 "ref_image_utils_extract", "exec"), ns)
+    mod = types.SimpleNamespace(PixelWiseError=ns["PixelWiseError"])
+    return mod
+
+
+def _nhwc(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("boundary", [None, 4])
+@pytest.mark.parametrize("metric", ["l1", "l2", "l2_sqrt", "charbonnier"])
+def test_pixelwise_error_matches_reference(ref_image_utils, metric, boundary):
+    """Unmasked PixelWiseError parity for all four metrics, with and without
+    boundary crop (fba_net/utils/image_utils.py:62-111)."""
+    from fbanet_tpu.metrics import pixelwise_error
+
+    a, b = _pair(shape=(2, 3, 24, 24), seed=7)
+    ref = ref_image_utils.PixelWiseError(metric=metric, boundary_ignore=boundary)
+    expected = float(ref(torch.tensor(a), torch.tensor(b)))
+    got = float(pixelwise_error(_nhwc(a), _nhwc(b), metric=metric,
+                                boundary_ignore=boundary))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize("boundary", [None, 4])
+@pytest.mark.parametrize("metric", ["l1", "l2"])
+def test_pixelwise_error_masked_matches_reference(ref_image_utils, metric,
+                                                  boundary):
+    """Masked parity for the metrics whose reference closures accept
+    reduction="none" (the reference's own charbonnier/l2_sqrt raise TypeError
+    when masked — documented bug, not reproduced)."""
+    from fbanet_tpu.metrics import pixelwise_error
+
+    a, b = _pair(shape=(2, 3, 24, 24), seed=8)
+    rng = np.random.default_rng(9)
+    valid = (rng.uniform(size=(2, 1, 24, 24)) > 0.3)  # per-pixel NCHW mask
+
+    ref = ref_image_utils.PixelWiseError(metric=metric, boundary_ignore=boundary)
+    expected = float(ref(torch.tensor(a), torch.tensor(b),
+                         valid=torch.tensor(valid)))
+    got = float(pixelwise_error(
+        _nhwc(a), _nhwc(b), metric=metric, boundary_ignore=boundary,
+        valid=_nhwc(valid.astype(np.float32))))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_pixelwise_error_masked_charbonnier_numpy():
+    """The masked charbonnier/l2_sqrt paths the reference crashes on: pin
+    against a direct numpy evaluation of the intended semantics."""
+    from fbanet_tpu.metrics import pixelwise_error
+
+    a, b = _pair(shape=(2, 3, 16, 16), seed=10)
+    rng = np.random.default_rng(11)
+    valid = (rng.uniform(size=(2, 1, 16, 16)) > 0.4).astype(np.float32)
+    an, bn, vn = (x.transpose(0, 2, 3, 1) for x in (a, b, valid))
+
+    err = np.sqrt((an - bn) ** 2 + 1e-6)  # charbonnier, eps=1e-3
+    ratio = err.size / vn.size
+    expected = (err * vn).sum() / (vn.sum() * ratio + 1e-12)
+    got = float(pixelwise_error(_nhwc(a), _nhwc(b), metric="charbonnier",
+                                valid=_nhwc(valid)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    err2 = np.sqrt(((an - bn) ** 2).sum(axis=-1))  # l2_sqrt: channel-reduced
+    ratio2 = err2.size / vn[..., 0].size
+    expected2 = (err2 * vn[..., 0]).sum() / (vn[..., 0].sum() * ratio2 + 1e-12)
+    got2 = float(pixelwise_error(_nhwc(a), _nhwc(b), metric="l2_sqrt",
+                                 valid=_nhwc(valid)))
+    np.testing.assert_allclose(got2, expected2, rtol=1e-5)
