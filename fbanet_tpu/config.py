@@ -44,10 +44,6 @@ class ModelConfig:
     # (ops/attention_pallas.py), "xla" = composed flax ops, "auto" = pallas
     # on TPU / xla elsewhere. The parameter tree is identical either way.
     attention_impl: Literal["auto", "xla", "pallas"] = "auto"
-    # FAF gate implementation: "xla" = depthwise + lane-reduce form,
-    # "pallas" = fused strip kernel (ops/faf_gate_pallas.py), "auto" =
-    # pallas on TPU. Stays "xla" until the kernel is TPU-measured faster.
-    gate_impl: Literal["auto", "xla", "pallas"] = "xla"
     remat: bool = False  # rematerialize attention layers in the backward pass
     # (jax.checkpoint per SwinLayer). Default OFF since r3: the fused Pallas
     # kernels' custom_vjp saves only layer INPUTS (~26 MB/layer at B=8

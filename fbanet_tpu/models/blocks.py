@@ -253,10 +253,6 @@ class FAFBlock(nn.Module):
 
     num_feats: int
     num_frames: int = 14
-    # gate evaluation: "xla" (depthwise + lane-reduce form) or "pallas"
-    # (fused strip kernel, ops/faf_gate_pallas.py) or "auto" (pallas on
-    # TPU). "xla" until the Pallas path is TPU-measured faster.
-    gate_impl: Literal["auto", "xla", "pallas"] = "xla"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -298,20 +294,19 @@ class FAFBlock(nn.Module):
         wb, _bb = _ConvParams((3, 3), c, c, param_dtype=self.param_dtype,
                               name="temporal_attn1")()
 
-        # The gate evaluation lives in ops/faf_gate_pallas.py: the XLA form
-        # runs the channel-summed conv DEPTHWISE (kernel [3,3,1,C], clean
-        # C=64 lane layout) + a lane reduction — instead of a C_out=1 conv
-        # whose output XLA lays out padded 1->128 lanes (a 128x-inflated
-        # store, and the same pathology in its wgrad) — with frame 0 passing
-        # through ungated (the reference concatenates it back untouched;
-        # sigmoid(0)=0.5 would halve it). A fused Pallas forward exists
-        # behind impl='pallas' (default off until TPU-measured).
-        from fbanet_tpu.ops.faf_gate_pallas import fused_affinity_gate
+        # The gate evaluation lives in ops/faf_gate.py: the channel-summed
+        # conv runs DEPTHWISE (kernel [3,3,1,C], clean C=64 lane layout) + a
+        # lane reduction — instead of a C_out=1 conv whose output XLA lays
+        # out padded 1->128 lanes (a 128x-inflated store, and the same
+        # pathology in its wgrad) — with frame 0 passing through ungated
+        # (the reference concatenates it back untouched; sigmoid(0)=0.5
+        # would halve it). A fused Pallas strip kernel for this stage was
+        # measured 0.3-0.6x this form on v5e and deleted (docs/ROUND4.md).
+        from fbanet_tpu.ops.faf_gate import affinity_gate
 
         xd = frames.astype(self.dtype)
-        guided = fused_affinity_gate(xd, jnp.sum(wb, axis=3),
-                                     compute_dtype=self.dtype,
-                                     impl=self.gate_impl)
+        guided = affinity_gate(xd, jnp.sum(wb, axis=3),
+                               compute_dtype=self.dtype)
 
         # --- (b) fusion hourglass ---
         # The reference concatenates all F*C channels then applies a 1x1 conv

@@ -58,7 +58,7 @@ class FBANet(nn.Module):
         feats = xf.reshape(b, f, h, w, d)
 
         # --- federated affinity fusion ---
-        fused = FAFBlock(num_feats=d, num_frames=f, gate_impl=cfg.gate_impl,
+        fused = FAFBlock(num_feats=d, num_frames=f,
                          dtype=dtype, param_dtype=pdtype, name="fusion")(feats)
 
         # --- input projection + positional dropout ---

@@ -609,7 +609,14 @@ class SwinLayer(nn.Module):
 
 class Downsample(nn.Module):
     """4x4 stride-2 conv halving resolution
-    (reference: fba_net/layers/downsample_flatten.py)."""
+    (reference: fba_net/layers/downsample_flatten.py).
+
+    Stays a plain strided conv BY MEASUREMENT: the inverse of the Upsample
+    trick below (pad + space-to-depth + four [4C -> F] matmul taps, exact
+    same math) was built and timed on v5e in round 4 — the pad+transpose
+    relayout costs more than XLA's own strided-conv lowering at both model
+    shapes, 2.6x slower fwd and 5x slower fwd+bwd at 160^2 C64->128
+    (docs/ROUND4.md, measured-and-rejected)."""
 
     features: int
     dtype: Dtype = jnp.float32

@@ -448,77 +448,34 @@ def test_leff_bwd_block_picker_covers_decoder_shapes():
 
 
 # --------------------------------------------------------------------------
-# Fused FAF affinity gate (ops/faf_gate_pallas.py)
+# FAF affinity gate (ops/faf_gate.py)
 # --------------------------------------------------------------------------
 
 
-def test_faf_gate_pallas_matches_reference():
-    """Pallas gate forward (interpret) == the XLA depthwise+reduce form,
-    including the zero-padded borders, frame-0 passthrough, and the
-    multi-strip halo path (h=80 -> two 40-row strips)."""
-    from fbanet_tpu.ops.faf_gate_pallas import (
-        fused_affinity_gate,
-        gate_reference,
-    )
+def test_faf_gate_matches_materialized_form():
+    """The depthwise + lane-reduce gate == the naive materialized form
+    (C_out=1 channel-summed conv, explicit |s_k - s_0| and sigmoid, frame-0
+    passthrough) — the algebra the reference computes via full [B*F,H,W,C]
+    embeddings (fba_net/blocks/federated_affinity_fusion.py:67-108)."""
+    from jax import lax
+
+    from fbanet_tpu.ops.faf_gate import affinity_gate
 
     rng = np.random.default_rng(10)
-    for (b, f, h, w, c) in [(2, 3, 16, 16, 8), (1, 2, 80, 16, 8)]:
-        x = jnp.asarray(rng.normal(size=(b, f, h, w, c)).astype(np.float32))
-        wsum = jnp.asarray(rng.normal(size=(3, 3, c)).astype(np.float32))
-        got = fused_affinity_gate(x, wsum, compute_dtype=jnp.float32,
-                                  impl="pallas", interpret=True)
-        want = gate_reference(x, wsum, compute_dtype=jnp.float32)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-5, rtol=1e-4)
+    b, f, h, w, c = 2, 3, 16, 16, 8
+    x = jnp.asarray(rng.normal(size=(b, f, h, w, c)).astype(np.float32))
+    wsum = jnp.asarray(rng.normal(size=(3, 3, c)).astype(np.float32))
 
+    got = affinity_gate(x, wsum, compute_dtype=jnp.float32)
 
-def test_faf_gate_pallas_grads_match_reference():
-    """custom_vjp plumbing: grads through the fused gate == autodiff of the
-    XLA form, for both x and wsum."""
-    from fbanet_tpu.ops.faf_gate_pallas import (
-        fused_affinity_gate,
-        gate_reference,
-    )
-
-    rng = np.random.default_rng(11)
-    x = jnp.asarray(rng.normal(size=(2, 3, 16, 16, 8)).astype(np.float32))
-    wsum = jnp.asarray(rng.normal(size=(3, 3, 8)).astype(np.float32))
-    gc = jnp.asarray(rng.normal(size=(2, 3, 16, 16, 8)).astype(np.float32))
-
-    def loss_fused(x, wsum):
-        out = fused_affinity_gate(x, wsum, compute_dtype=jnp.float32,
-                                  impl="pallas", interpret=True)
-        return jnp.sum(out * gc)
-
-    def loss_ref(x, wsum):
-        return jnp.sum(gate_reference(x, wsum,
-                                      compute_dtype=jnp.float32) * gc)
-
-    g1 = jax.grad(loss_fused, argnums=(0, 1))(x, wsum)
-    g2 = jax.grad(loss_ref, argnums=(0, 1))(x, wsum)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-4, rtol=1e-4)
-
-
-def test_faf_block_gate_impl_flag():
-    """FAFBlock output is identical under the XLA and Pallas gate impls
-    (the config field only changes the execution path; parameter trees are
-    identical so params transfer directly)."""
-    from fbanet_tpu.models.blocks import FAFBlock
-
-    rng = np.random.default_rng(12)
-    x = jnp.asarray(rng.normal(size=(2, 3, 16, 16, 8)).astype(np.float32))
-    m_xla = FAFBlock(num_feats=8, num_frames=3, gate_impl="xla",
-                     dtype=jnp.float32)
-    m_pal = FAFBlock(num_feats=8, num_frames=3, gate_impl="pallas",
-                     dtype=jnp.float32)
-    params = m_xla.init(jax.random.key(0), x)
-    y_xla = m_xla.apply(params, x)
-    y_pal = m_pal.apply(params, x)
-    np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_pal),
+    dn = lax.conv_dimension_numbers((b * f, h, w, c), (3, 3, c, 1),
+                                    ("NHWC", "HWIO", "NHWC"))
+    s = lax.conv_general_dilated(x.reshape(b * f, h, w, c),
+                                 wsum[..., None], (1, 1),
+                                 [(1, 1), (1, 1)],
+                                 dimension_numbers=dn)
+    s = s.reshape(b, f, h, w)
+    gate = jax.nn.sigmoid(jnp.abs(s - s[:, :1]))[..., None]
+    want = x * gate.at[:, 0].set(1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
-
-    with pytest.raises(ValueError):
-        from fbanet_tpu.ops.faf_gate_pallas import fused_affinity_gate
-        fused_affinity_gate(x, jnp.zeros((3, 3, 8)), impl="XLA")

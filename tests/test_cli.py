@@ -90,6 +90,43 @@ def test_align_cli(tmp_path, capsys):
     assert "aligned 1 bursts" in capsys.readouterr().out
 
 
+def test_align_cli_overlap_parity_flags(tmp_path, capsys):
+    """--no_overlap (serial A/B path) writes bit-identical PNGs to the
+    pipelined default, and --parity (the reference's exact cv2 settings:
+    1 level, 100 iters, eps 1e-10) runs end to end."""
+    from PIL import Image
+
+    from fbanet_tpu import align as A
+    from fbanet_tpu.data.synthetic import synthetic_burst
+
+    rng = np.random.default_rng(5)
+    for b in range(2):
+        lr, _, _ = synthetic_burst(rng, num_frames=3, lr_size=32,
+                                   aligned=False, max_shift=2.0)
+        d = tmp_path / "un" / f"00{b}_0"
+        d.mkdir(parents=True)
+        for f in range(3):
+            Image.fromarray((lr[f] * 255 + 0.5).astype(np.uint8)).save(
+                d / f"00{b}_MFSR_Sony_000{b}_x4_{f:02d}.png")
+
+    common = ["--input_dir", str(tmp_path / "un"), "--motion", "translation",
+              "--levels", "2", "--iters", "15"]
+    A.main([*common, "--output_dir", str(tmp_path / "pipelined")])
+    A.main([*common, "--output_dir", str(tmp_path / "serial"),
+            "--no_overlap"])
+    outs = sorted((tmp_path / "pipelined").rglob("*.png"))
+    assert len(outs) == 6
+    for f in outs:
+        g = tmp_path / "serial" / f.relative_to(tmp_path / "pipelined")
+        np.testing.assert_array_equal(np.asarray(Image.open(f)),
+                                      np.asarray(Image.open(g)))
+
+    A.main(["--input_dir", str(tmp_path / "un"),
+            "--output_dir", str(tmp_path / "parity"), "--parity"])
+    assert len(list((tmp_path / "parity").rglob("*.png"))) == 6
+    assert "aligned 2 bursts" in capsys.readouterr().out
+
+
 def test_tiled_cli_gtfree(trained, tmp_path):
     """Tiled inference over a tree with NO HR files — the exact scenario
     any-resolution inference exists for (reference:
