@@ -77,6 +77,16 @@ class DataConfig:
     # decode-bound and starves the chip.
     cache_decoded: bool = True
     cache_gb: float = 8.0
+    # pre-fill the decoded-frame cache before step 1 (--warm_start): moves
+    # the decode-bound cold epoch ahead of training so epoch 1 is not
+    # device-starved on few-core hosts (RealBSRDataset.warm_cache)
+    warm_start: bool = False
+    # host->device wire format: "storage" ships the PNG integers (uint8 /255,
+    # RAW uint16 /16383) and normalizes on device inside the jitted step —
+    # bit-identical to the f32 wire at 4x fewer transfer bytes
+    # (RealBSRDataset.wire_dtype / train.to_unit_f32). --wire_f32 restores
+    # the float wire.
+    wire_dtype: Literal["storage", "float32"] = "storage"
     seed: int = 0
     num_workers: int = 16
     eval_workers: int = 8
@@ -208,6 +218,14 @@ def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--no_cache_decoded", action="store_true", default=False,
                    help="disable the decoded-frame RAM cache")
     p.add_argument("--cache_gb", type=float, default=8.0)
+    p.add_argument("--warm_start", action="store_true", default=False,
+                   help="pre-fill the decoded-frame cache before step 1 so "
+                        "the decode-bound cold epoch does not starve the "
+                        "device")
+    p.add_argument("--wire_f32", action="store_true", default=False,
+                   help="ship normalized f32 batches to the device instead "
+                        "of the storage integers (4x the transfer bytes; "
+                        "bit-identical results)")
     p.add_argument("--online_align", type=str, default="none",
                    choices=["none", "ecc", "flow"])
     p.add_argument("--resume", action="store_true", default=False)
@@ -241,6 +259,8 @@ def from_cli(args: argparse.Namespace) -> Config:
         channels=args.in_channels,
         cache_decoded=not args.no_cache_decoded,
         cache_gb=args.cache_gb,
+        warm_start=args.warm_start,
+        wire_dtype="float32" if args.wire_f32 else "storage",
         num_workers=args.train_workers,
         eval_workers=args.eval_workers,
     )

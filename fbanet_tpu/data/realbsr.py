@@ -124,6 +124,16 @@ class RealBSRDataset:
     # `cache_limit_bytes`; past the cap, bursts decode per epoch as before.
     cache_decoded: bool = False
     cache_limit_bytes: int = 8 << 30
+    # Sample dtype on the host->device wire: "float32" = normalized [0,1]
+    # floats (the classic contract); "storage" = the PNG storage integers
+    # (uint8 /255, RAW uint16 /16383) with normalization deferred to the
+    # device (train.to_unit_f32 inside the jitted step). 4x fewer wire
+    # bytes per batch — on a tunneled/remote device the f32 transfer
+    # dominated the train step (measured 1.5 s/step at B8 160px vs 250 ms
+    # compute, docs/ROUND4.md); on local hosts it still quarters PCIe
+    # traffic. Bit-exact: the device multiply is the same f32 op the host
+    # normalize performs.
+    wire_dtype: str = "float32"  # float32 | storage
 
     records: list[BurstRecord] = field(init=False)
 
@@ -307,6 +317,20 @@ class RealBSRDataset:
                     self._cache_bytes += nbytes
         return entry
 
+    def warm_cache(self) -> int:
+        """Decode every record into the RAM cache up front (`--warm_start`).
+
+        On 1-core hosts the decode-bound first epoch otherwise starves the
+        device (~1/4 of the train rate, docs/ROUND3.md); pre-filling moves
+        that cost ahead of step 1 so every training epoch runs at the cached
+        steady-state rate. Returns the number of cached bursts (bounded by
+        `cache_limit_bytes` — records past the limit stay decode-on-load)."""
+        if not self.cache_decoded:
+            return 0
+        for i in range(len(self.records)):
+            self._cached_frames(i)
+        return len(self._cache)
+
     def _storage_to_f32(self, arr: np.ndarray) -> np.ndarray:
         scale = np.float32(1.0 / 16383.0 if self.channels == 4
                            else 1.0 / 255.0)
@@ -316,8 +340,10 @@ class RealBSRDataset:
              ) -> dict[str, np.ndarray | str]:
         """Decode, frame-subset, crop and augment one burst.
 
-        Returns {'LR': [F,h,w,C] f32 [0,1], 'HR': [H,W,C] f32, 'burst_name'};
-        GT-free test bursts return {'LR', 'burst_name'} only (the reference's
+        Returns {'LR': [F,h,w,C], 'HR': [H,W,C], 'burst_name'} — f32 [0,1]
+        under wire_dtype="float32", storage integers (uint8/uint16) under
+        "storage" (normalize on device with train.to_unit_f32). GT-free test
+        bursts return {'LR', 'burst_name'} only (the reference's
         ManualDatasets_test contract, fba_net/ManualDataset.py.bak:295-408).
 
         With `cache_decoded`, decode happens once per burst and sample
@@ -359,7 +385,21 @@ class RealBSRDataset:
                          and r1 + cs_eff <= lr_h and c1 + cs_eff <= lr_w
                          and (crop or lr_h == lr_w)
                          and native_io.available())
-            if native_ok:
+            if self.wire_dtype == "storage":
+                # gather/crop/flip the storage integers directly — no
+                # normalize multiply at all; the device does it in-step
+                lr = lr_all[frame_ids]
+                hr = hr_st
+                if crop:
+                    lr = lr[:, r1:r1 + cs, c1:c1 + cs]
+                    if hr is not None:
+                        s = hr.shape[0] // lr_h
+                        hr = hr[s * r1:s * (r1 + cs), s * c1:s * (c1 + cs)]
+                if t:
+                    lr = dihedral_transform(lr, t)
+                    if hr is not None:
+                        hr = dihedral_transform(hr, t)
+            elif native_ok:
                 lr = native_io.transform_f32(lr_all, frame_ids, r1, c1,
                                              cs_eff, t)
                 hr = None
@@ -402,6 +442,15 @@ class RealBSRDataset:
                 lr = dihedral_transform(lr, t)
                 if hr is not None:
                     hr = dihedral_transform(hr, t)
+
+            if self.wire_dtype == "storage":
+                # uncached decode is f32; re-quantize exactly (every value is
+                # k/scale and crop/flip do not interpolate)
+                scale = 16383.0 if self.channels == 4 else 255.0
+                idt = np.uint16 if self.channels == 4 else np.uint8
+                lr = np.asarray(np.rint(lr * scale), idt)
+                if hr is not None:
+                    hr = np.asarray(np.rint(hr * scale), idt)
 
         out: dict[str, np.ndarray | str] = {"LR": lr, "burst_name": rec.name}
         if hr is not None:

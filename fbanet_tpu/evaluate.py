@@ -49,18 +49,22 @@ def evaluate(cfg: Config, *, save_images: bool = False,
         lpips_model = load_lpips(lpips_weights)
         lpips_fn = jax.jit(lambda a, b: lpips_model(a, b, boundary_ignore=bi))
 
+    from fbanet_tpu.train import to_unit_f32
+
     @jax.jit
     def step(p, lr, hr):
+        lr, hr = to_unit_f32(lr), to_unit_f32(hr)
         pred = jnp.clip(model.apply(p, lr, deterministic=True), 0.0, 1.0)
         return (pred,
                 psnr_metric(pred, hr, boundary_ignore=bi),
-                ssim_metric(pred, hr, boundary_ignore=bi))
+                ssim_metric(pred, hr, boundary_ignore=bi), hr)
 
     ds = RealBSRDataset(cfg.data.dataroot, split="val", layout=cfg.data.layout,
                         burst_size=cfg.data.burst_size,
                         crop_size=cfg.data.crop_size,
                         channels=cfg.data.channels,
                         cache_decoded=cfg.data.cache_decoded,
+                        wire_dtype=cfg.data.wire_dtype,
                         augment=False)
     loader = BurstLoader(ds, batch_size=cfg.eval.batch_size,
                          num_workers=cfg.data.eval_workers, drop_last=False)
@@ -71,13 +75,12 @@ def evaluate(cfg: Config, *, save_images: bool = False,
 
     psnrs, ssims, lpipses = [], [], []
     for batch in loader.epoch(0):
-        pred, p, s = step(params, jnp.asarray(batch["LR"]),
-                          jnp.asarray(batch["HR"]))
+        pred, p, s, hr_unit = step(params, jnp.asarray(batch["LR"]),
+                                   jnp.asarray(batch["HR"]))
         psnrs.extend(np.asarray(p).tolist())
         ssims.extend(np.atleast_1d(np.asarray(s)).tolist())
         if lpips_fn is not None:
-            lpipses.extend(np.asarray(
-                lpips_fn(pred, jnp.asarray(batch["HR"]))).tolist())
+            lpipses.extend(np.asarray(lpips_fn(pred, hr_unit)).tolist())
         if save_images:
             from PIL import Image
 

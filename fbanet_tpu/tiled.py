@@ -149,8 +149,11 @@ def main(argv: list[str] | None = None) -> None:
     if weights:
         params = load_params(weights, params)
 
+    from fbanet_tpu.train import to_unit_f32
+
     @jax.jit
     def apply_fn(batch):
+        batch = to_unit_f32(batch)
         return jnp.clip(model.apply(params, batch, deterministic=True), 0.0, 1.0)
 
     from fbanet_tpu.parallel.mesh import make_mesh
@@ -159,7 +162,8 @@ def main(argv: list[str] | None = None) -> None:
 
     ds = RealBSRDataset(cfg.data.dataroot, split="test", layout=cfg.data.layout,
                         burst_size=cfg.data.burst_size, crop_size=0,
-                        channels=cfg.data.channels, augment=False)
+                        channels=cfg.data.channels, augment=False,
+                        wire_dtype=cfg.data.wire_dtype)
     out_dir = Path(args.result_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     from PIL import Image

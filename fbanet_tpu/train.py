@@ -160,6 +160,21 @@ def mixup(hr: jnp.ndarray, lr_burst: jnp.ndarray, lam: jnp.ndarray,
     return hr_mix, lr_mix
 
 
+def to_unit_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Storage-integer wire batches -> f32 [0,1], on device, in-step.
+
+    The multiply is the exact f32 op the host normalize performs
+    (`x.astype(f32) * (1/255)`, matching `RealBSRDataset._storage_to_f32`
+    and the native pass's `* (1.0f/255.0f)`), so wire_dtype="storage" is
+    bit-identical to the f32 wire — at a quarter of the host->device bytes.
+    Float inputs pass through untouched."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    if x.dtype == jnp.uint16:
+        return x.astype(jnp.float32) * jnp.float32(1.0 / 16383.0)
+    return x
+
+
 def make_train_step(model, optimizer, cfg: TrainConfig,
                     online_align: str = "none"):
     """Jitted (params, opt_state, batch, rng, lr) -> (params, opt_state, loss)."""
@@ -170,6 +185,7 @@ def make_train_step(model, optimizer, cfg: TrainConfig,
         from fbanet_tpu.ops.registration import online_register
 
     def loss_fn(params, lr_burst, hr, rng):
+        lr_burst, hr = to_unit_f32(lr_burst), to_unit_f32(hr)
         if cfg.mixup:
             b = lr_burst.shape[0]
             lam = jax.random.beta(jax.random.fold_in(rng, 1),
@@ -206,6 +222,7 @@ def make_eval_step(model, boundary_ignore: int = 40,
 
     @jax.jit
     def step(params, lr_burst, hr):
+        lr_burst, hr = to_unit_f32(lr_burst), to_unit_f32(hr)
         if online_align != "none":
             lr_burst = online_register(lr_burst, online_align)
         pred = model.apply(params, lr_burst, deterministic=True)
@@ -309,13 +326,15 @@ def train(cfg: Config) -> dict:
         scale=cfg.data.scale, channels=cfg.data.channels, seed=cfg.data.seed,
         cache_decoded=cfg.data.cache_decoded,
         cache_limit_bytes=int(cfg.data.cache_gb * (1 << 30)),
+        wire_dtype=cfg.data.wire_dtype,
         shard_id=shard_id, num_shards=num_shards)
     val_ds = RealBSRDataset(
         cfg.data.dataroot, split="val", layout=cfg.data.layout,
         burst_size=cfg.data.burst_size, crop_size=cfg.data.crop_size,
         scale=cfg.data.scale, channels=cfg.data.channels, seed=cfg.data.seed,
         cache_decoded=cfg.data.cache_decoded,
-        cache_limit_bytes=int(cfg.data.cache_gb * (1 << 30)))
+        cache_limit_bytes=int(cfg.data.cache_gb * (1 << 30)),
+        wire_dtype=cfg.data.wire_dtype)
     train_loader = BurstLoader(train_ds, batch_size=tcfg.batch_size,
                                num_workers=cfg.data.num_workers,
                                prefetch_depth=cfg.data.prefetch_depth,
@@ -325,6 +344,15 @@ def train(cfg: Config) -> dict:
                              drop_last=False, sharding=None, seed=tcfg.seed)
     log(f"Sizeof training set: {len(train_ds)}, sizeof validation set: "
         f"{len(val_ds)}; {n_dev} device(s)")
+
+    if cfg.data.warm_start:
+        # move the decode-bound cold epoch ahead of step 1 (the compile
+        # below hides part of it on wall clock; the device-starved first
+        # epoch disappears entirely)
+        t0 = time.time()
+        n_warm = train_ds.warm_cache() + val_ds.warm_cache()
+        log(f"warm_start: pre-decoded {n_warm} bursts into the frame cache "
+            f"in {time.time() - t0:.1f}s")
 
     train_step = make_train_step(model, optimizer, tcfg,
                                  online_align=cfg.data.online_align)

@@ -98,6 +98,7 @@ def main(argv=None) -> None:
         "--batch_size", str(args.batch_size),
         "--nepoch", str(args.epochs),
         "--warmup", "--warmup_epochs", "3",
+        "--warm_start",
         "--save_dir", str(out / "log"),
         "--env", "_convergence",
         "--train_workers", "4", "--eval_workers", "4",

@@ -235,6 +235,65 @@ def test_cache_matches_uncached_val(aligned_root):
         np.testing.assert_allclose(a["LR"], b["LR"], atol=1e-7)
 
 
+def test_warm_cache_prefills_and_matches(aligned_root):
+    """warm_cache() decodes every record up front (--warm_start); samples
+    loaded afterwards are identical to the lazily-cached path, and a
+    cache_decoded=False dataset reports 0 warmed."""
+    kw = dict(split="train", burst_size=3, crop_size=24)
+    ds = RealBSRDataset(aligned_root, cache_decoded=True, **kw)
+    n = ds.warm_cache()
+    assert n == len(ds.records) and len(ds._cache) == n
+    lazy = RealBSRDataset(aligned_root, cache_decoded=True, **kw)
+    for index in range(min(3, len(ds))):
+        a = ds.load(index, np.random.default_rng((7, index)))
+        b = lazy.load(index, np.random.default_rng((7, index)))
+        np.testing.assert_array_equal(a["LR"], b["LR"])
+        np.testing.assert_array_equal(a["HR"], b["HR"])
+    assert RealBSRDataset(aligned_root, cache_decoded=False,
+                          **kw).warm_cache() == 0
+
+
+def test_wire_storage_matches_f32(aligned_root):
+    """wire_dtype='storage' ships the PNG integers; after the device-side
+    normalize (train.to_unit_f32's exact multiply) the values are BIT-
+    identical to the f32 wire, on both the cached and uncached paths."""
+    import jax.numpy as jnp
+
+    from fbanet_tpu.train import to_unit_f32
+
+    for cached in (True, False):
+        kw = dict(split="train", burst_size=3, crop_size=24,
+                  cache_decoded=cached)
+        a = RealBSRDataset(aligned_root, wire_dtype="float32", **kw)
+        b = RealBSRDataset(aligned_root, wire_dtype="storage", **kw)
+        for i in range(min(2, len(a))):
+            sa = a.load(i, np.random.default_rng((3, i)))
+            sb = b.load(i, np.random.default_rng((3, i)))
+            assert sb["LR"].dtype == np.uint8
+            for k in ("LR", "HR"):
+                np.testing.assert_array_equal(
+                    sa[k], np.asarray(to_unit_f32(jnp.asarray(sb[k]))))
+
+
+def test_wire_storage_raw_u16(tmp_path):
+    root = tmp_path / "rawwire"
+    write_synthetic_realbsr(root, num_bursts=1, num_frames=3, lr_size=16,
+                            channels=4)
+    import jax.numpy as jnp
+
+    from fbanet_tpu.train import to_unit_f32
+
+    kw = dict(split="train", burst_size=3, crop_size=8, channels=4,
+              cache_decoded=True)
+    a = RealBSRDataset(root, wire_dtype="float32", **kw)
+    b = RealBSRDataset(root, wire_dtype="storage", **kw)
+    sa = a.load(0, np.random.default_rng(1))
+    sb = b.load(0, np.random.default_rng(1))
+    assert sb["LR"].dtype == np.uint16
+    np.testing.assert_array_equal(
+        sa["LR"], np.asarray(to_unit_f32(jnp.asarray(sb["LR"]))))
+
+
 def test_cache_limit_zero_disables_storage(aligned_root):
     ds = RealBSRDataset(aligned_root, split="train", burst_size=3,
                         crop_size=24, cache_decoded=True,
