@@ -101,6 +101,18 @@ class BurstLoader:
                         }
                         if "HR" in samples[0]:  # absent for GT-free test data
                             batch["HR"] = np.stack([s["HR"] for s in samples])
+                        if self.sharding is not None:
+                            # stage into HBM from the producer: the wire
+                            # transfer of batch N+1 overlaps the device's
+                            # compute on batch N (and the next decode) —
+                            # done at yield time it serialized with the
+                            # step (measured ~30% of the flagship step,
+                            # docs/ROUND4.md §4b)
+                            batch = {
+                                k: (jax.device_put(v, self.sharding)
+                                    if k in ("LR", "HR") else v)
+                                for k, v in batch.items()
+                            }
                         out_q.put(batch)
             except Exception as exc:  # propagate into the consumer
                 out_q.put(exc)
@@ -116,13 +128,15 @@ class BurstLoader:
                     break
                 if isinstance(item, Exception):
                     raise item
-                if self.sharding is not None:
-                    item = {
-                        k: (jax.device_put(v, self.sharding)
-                            if k in ("LR", "HR") else v)
-                        for k, v in item.items()
-                    }
                 yield item
         finally:
             stop.set()
-            thread.join(timeout=5.0)
+            # drain while joining: the producer may be blocked in a full
+            # out_q.put — and with producer-side device staging each queued
+            # batch pins HBM, so a leaked thread would pin device memory
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    pass
+                thread.join(timeout=0.1)

@@ -240,12 +240,17 @@ def evaluate_psnr(eval_step, params, loader: BurstLoader, epoch: int) -> float:
     selection and the reported eval metric use one convention."""
     from fbanet_tpu.metrics import finite_average
 
+    # keep per-batch results on device and fetch once at the end: the
+    # host then decodes/ships batch N+1 while the device evaluates batch N
+    # (a per-batch np.asarray sync serialized eval with the wire)
     vals_all, count = [], 0
     for batch in loader.epoch(epoch):
-        vals = np.asarray(eval_step(params, batch["LR"], batch["HR"]))
+        vals = eval_step(params, batch["LR"], batch["HR"])
         vals_all.append(vals)
-        count += len(vals)
-    return finite_average(np.concatenate(vals_all) if vals_all else [], count)
+        count += vals.shape[0]
+    vals = (np.concatenate([np.asarray(v) for v in vals_all])
+            if vals_all else [])
+    return finite_average(vals, count)
 
 
 def train(cfg: Config) -> dict:
@@ -382,6 +387,15 @@ def train(cfg: Config) -> dict:
         stopped_early = False
         with profile_ctx:
             batches = iter(train_loader.epoch(epoch, start_step=start_step))
+            # One-step-deep loss pipeline: step N's loss is fetched AFTER
+            # step N+1 is dispatched, so the host<->device round trip (and
+            # the producer-staged transfer of batch N+2) overlaps the
+            # device's compute on N+1. Exactly one step in flight — the
+            # sync on the previous loss still paces the loop, so step
+            # timings stay honest and HBM holds at most prefetch_depth+1
+            # staged batches. epoch_loss is flushed before every
+            # checkpoint, keeping mid-epoch resume bit-exact.
+            pending_loss = None
             while True:
                 with timer.data_wait():  # host starvation vs device time
                     batch = next(batches, None)
@@ -392,16 +406,21 @@ def train(cfg: Config) -> dict:
                     params, opt_state, loss = train_step(
                         params, opt_state, batch["LR"], batch["HR"],
                         step_rng, lr)
-                    loss = float(loss)
-                epoch_loss += loss
+                    if pending_loss is not None:
+                        epoch_loss += float(pending_loss)
+                pending_loss = loss
                 steps += 1
                 if tcfg.save_every_steps and steps % tcfg.save_every_steps == 0:
+                    epoch_loss += float(pending_loss)
+                    pending_loss = None
                     triad.on_step(epoch, steps, epoch_loss, params=params,
                                   opt_state=opt_state, best_psnr=best_psnr)
                 if tcfg.stop_after_steps and steps >= tcfg.stop_after_steps:
-                    stopped_early = True
                     batches.close()  # stop the loader's producer thread
+                    stopped_early = True
                     break
+            if pending_loss is not None:
+                epoch_loss += float(pending_loss)
         if stopped_early:
             triad.on_step(epoch, steps, epoch_loss, params=params,
                           opt_state=opt_state, best_psnr=best_psnr)
