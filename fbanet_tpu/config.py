@@ -136,6 +136,15 @@ class TrainConfig:
     # stop after N train steps of the first epoch (testing/smoke hook; the
     # interrupt checkpoint is written before returning)
     stop_after_steps: int = 0
+    # gradient accumulation: each optimizer step averages grads over this
+    # many consecutive loader batches, so the published global-batch-16
+    # recipe (README.md:95-98) runs on one chip as --batch_size 8
+    # --grad_accum 2 without the B=16 activation footprint that spills HBM
+    # on a single v5e (docs/ROUND4.md §4b). Same estimator as the large
+    # batch (mean-of-means == large-batch mean for equal microbatches);
+    # mixup/dropout draw per-microbatch streams. No reference equivalent —
+    # the reference requires the full batch to fit (fba_net/train.py.bak).
+    grad_accum: int = 1
     eval_every_epochs: int = 1  # reference evaluates once per epoch (train.py.bak:173)
     gw_loss_weight: float = 3.0  # loss = charbonnier + 3*GWLoss (train.py.bak:168)
     charbonnier_eps: float = 1e-3
@@ -226,6 +235,11 @@ def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="ship normalized f32 batches to the device instead "
                         "of the storage integers (4x the transfer bytes; "
                         "bit-identical results)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="average grads over N consecutive batches per "
+                        "optimizer step (global batch = N * batch_size); "
+                        "lets the published batch-16 recipe run on one "
+                        "chip as --batch_size 8 --grad_accum 2")
     p.add_argument("--online_align", type=str, default="none",
                    choices=["none", "ecc", "flow"])
     p.add_argument("--resume", action="store_true", default=False)
@@ -274,6 +288,7 @@ def from_cli(args: argparse.Namespace) -> Config:
         warmup_epochs=args.warmup_epochs,
         checkpoint_every=args.checkpoint,
         save_every_steps=args.save_every_steps,
+        grad_accum=args.grad_accum,
         save_dir=args.save_dir,
         env=args.env,
         arch=args.arch,

@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import contextlib
 import datetime
+import itertools
 import math
 import time
 from functools import partial
@@ -200,9 +201,35 @@ def make_train_step(model, optimizer, cfg: TrainConfig,
                                     charbonnier_eps=cfg.charbonnier_eps,
                                     gw_weight=cfg.gw_loss_weight)
 
+    ga = max(1, int(getattr(cfg, "grad_accum", 1)))
+
     @partial(jax.jit, donate_argnums=(0, 1) if cfg.donate_state else ())
     def step(params, opt_state, lr_burst, hr, rng, lr):
-        loss, grads = jax.value_and_grad(loss_fn)(params, lr_burst, hr, rng)
+        if ga == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, lr_burst, hr,
+                                                      rng)
+        else:
+            # lr_burst/hr arrive as ga-tuples of microbatches; one scan
+            # iteration per microbatch keeps the activation footprint at
+            # the microbatch size (the whole point — B=16 activations
+            # spill HBM on one v5e, docs/ROUND4.md §4b) while the stacked
+            # wire batches (storage integers) stay small in HBM.
+            lrb = jnp.stack(lr_burst)
+            hrb = jnp.stack(hr)
+            rngs = jax.random.split(rng, ga)
+
+            def micro(carry, xs):
+                g_acc, l_acc = carry
+                lb, h, r = xs
+                l, g = jax.value_and_grad(loss_fn)(params, lb, h, r)
+                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (grads, loss), _ = jax.lax.scan(
+                micro, (zeros, jnp.float32(0.0)), (lrb, hrb, rngs))
+            inv = jnp.float32(1.0 / ga)
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss = loss * inv
         opt_state = _set_lr(opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -386,7 +413,11 @@ def train(cfg: Config) -> dict:
                        else contextlib.nullcontext())
         stopped_early = False
         with profile_ctx:
-            batches = iter(train_loader.epoch(epoch, start_step=start_step))
+            # `steps` counts optimizer steps; with grad_accum each one
+            # consumes grad_accum loader batches, so the loader resumes at
+            # the microbatch position
+            batches = iter(train_loader.epoch(
+                epoch, start_step=start_step * max(1, tcfg.grad_accum)))
             # One-step-deep loss pipeline: step N's loss is fetched AFTER
             # step N+1 is dispatched, so the host<->device round trip (and
             # the producer-staged transfer of batch N+2) overlaps the
@@ -396,9 +427,19 @@ def train(cfg: Config) -> dict:
             # staged batches. epoch_loss is flushed before every
             # checkpoint, keeping mid-epoch resume bit-exact.
             pending_loss = None
+            ga = max(1, tcfg.grad_accum)
             while True:
                 with timer.data_wait():  # host starvation vs device time
-                    batch = next(batches, None)
+                    if ga == 1:
+                        batch = next(batches, None)
+                    else:
+                        # one optimizer step consumes ga loader batches; a
+                        # trailing partial group (< ga batches) is dropped,
+                        # mirroring the loader's drop-remainder batching
+                        group = list(itertools.islice(batches, ga))
+                        batch = (None if len(group) < ga else
+                                 {"LR": tuple(b["LR"] for b in group),
+                                  "HR": tuple(b["HR"] for b in group)})
                 if batch is None:
                     break
                 step_rng = jax.random.fold_in(epoch_rng, steps)

@@ -300,3 +300,95 @@ def test_midepoch_checkpoint_resume_reproduces_trajectory(tiny_dataroot,
     for a, b in zip(jax.tree.leaves(out_full["params"]),
                     jax.tree.leaves(out_b["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _tiny_batch_pair():
+    rng = np.random.default_rng(7)
+    mk = lambda: {  # noqa: E731
+        "LR": jnp.asarray(rng.uniform(size=(2, 3, 16, 16, 3)).astype(np.float32)),
+        "HR": jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)),
+    }
+    return mk(), mk()
+
+
+def test_grad_accum_matches_manual_average():
+    """A grad_accum=2 step equals manually averaged per-microbatch grads
+    followed by one optimizer update (TINY_MODEL has drop_path 0, mixup off,
+    so the loss is rng-independent)."""
+    from fbanet_tpu.losses import fbanet_training_loss
+    from fbanet_tpu.train import _set_lr
+
+    model, params = init_model(TINY_MODEL, jax.random.key(0))
+    cfg = TrainConfig(grad_accum=2, donate_state=False)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg)
+    b1, b2 = _tiny_batch_pair()
+    rng = jax.random.key(3)
+    p_ga, _o, loss_ga = step(params, opt_state, (b1["LR"], b2["LR"]),
+                             (b1["HR"], b2["HR"]), rng, 1e-3)
+
+    def loss_fn(p, lr_burst, hr):
+        pred = model.apply(p, lr_burst, deterministic=False,
+                           rngs={"dropout": rng})
+        return fbanet_training_loss(pred, hr,
+                                    charbonnier_eps=cfg.charbonnier_eps,
+                                    gw_weight=cfg.gw_loss_weight)
+
+    l1, g1 = jax.value_and_grad(loss_fn)(params, b1["LR"], b1["HR"])
+    l2, g2 = jax.value_and_grad(loss_fn)(params, b2["LR"], b2["HR"])
+    grads = jax.tree.map(lambda a, b: (a + b) * 0.5, g1, g2)
+    ost = _set_lr(tx.init(params), 1e-3)
+    updates, _ = tx.update(grads, ost, params)
+    import optax
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss_ga), float((l1 + l2) * 0.5),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_ga), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accum_matches_concat_batch():
+    """Estimator identity: two microbatches of 2 == one batch of 4 (equal
+    microbatch sizes make mean-of-means the large-batch mean)."""
+    model, params = init_model(TINY_MODEL, jax.random.key(0))
+    b1, b2 = _tiny_batch_pair()
+    rng = jax.random.key(5)
+
+    cfg_ga = TrainConfig(grad_accum=2, donate_state=False)
+    tx = make_optimizer(cfg_ga)
+    p_ga, _o, loss_ga = make_train_step(model, tx, cfg_ga)(
+        params, tx.init(params), (b1["LR"], b2["LR"]), (b1["HR"], b2["HR"]),
+        rng, 1e-3)
+
+    cfg_1 = TrainConfig(grad_accum=1, donate_state=False)
+    tx1 = make_optimizer(cfg_1)
+    lr_cat = jnp.concatenate([b1["LR"], b2["LR"]])
+    hr_cat = jnp.concatenate([b1["HR"], b2["HR"]])
+    p_cat, _o, loss_cat = make_train_step(model, tx1, cfg_1)(
+        params, tx1.init(params), lr_cat, hr_cat, rng, 1e-3)
+
+    np.testing.assert_allclose(float(loss_ga), float(loss_cat), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_ga), jax.tree.leaves(p_cat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_grad_accum_end_to_end(tiny_dataroot, tmp_path):
+    """train() with grad_accum=2: 4 bursts / batch 2 -> 1 optimizer step per
+    epoch; loss finite; mid-epoch resume machinery keeps working."""
+    cfg = Config(
+        model=TINY_MODEL,
+        data=DataConfig(dataroot=str(tiny_dataroot), burst_size=3,
+                        crop_size=16, num_workers=2, eval_workers=2),
+        train=TrainConfig(batch_size=2, nepoch=2, grad_accum=2,
+                          lr_initial=1e-3, checkpoint_every=1,
+                          save_dir=str(tmp_path), env="_ga", seed=1234,
+                          donate_state=False),
+    )
+    out = train(cfg)
+    assert len(out["history"]) == 2
+    assert all(np.isfinite(h["loss"]) for h in out["history"])
+    assert all(h["steps"] == 1 for h in out["history"])  # 2 batches / ga 2
