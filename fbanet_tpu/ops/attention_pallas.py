@@ -136,11 +136,37 @@ def window_attention_reference(x: Array, ln_scale: Array, ln_bias: Array,
 # Pallas kernel
 # --------------------------------------------------------------------------
 
+def _stack_chunk(h: int, gb: int, cap: int = 64) -> int:
+    """Heads per stacked attention dot: largest divisor of `h` with
+    chunk*gb <= cap. Stacking batches the per-head [gb, n, dh] dots into one
+    dot_general with batch chunk*gb and merges chunk softmaxes into one, but
+    the lane-padded q/k/v stacks (dh -> 128 lanes) and the f32 logits scale
+    with chunk*gb — full stacking at h=16/gb=10 overflowed scoped VMEM
+    (23.5 MB > 16 MB, measured), so the product is bounded like the window
+    picker's."""
+    for cand in range(h, 0, -1):
+        if h % cand == 0 and cand * gb <= cap:
+            return cand
+    return 1
+
+
 def _attn_block_math(x, lns, lnb, wq, bq, wkv, bkv, wproj, bproj, bias,
                      mask, *, heads: int, n: int, c: int, gb: int,
                      cdtype) -> Array:
-    """The shared in-VMEM attention math: LN -> QKV -> per-head attention
-    with bias (+mask) -> out projection. x: [GB, N, C] -> [GB, N, C]."""
+    """The shared in-VMEM attention math: LN -> QKV -> multi-head attention
+    with bias (+mask) -> out projection. x: [GB, N, C] -> [GB, N, C].
+
+    The head stage stacks chunks of heads along the leading (batch) axis —
+    Mosaic cannot shape-cast the lane dim into (h, dh), so heads are sliced
+    from the lanes (as the original per-head loop did) and concatenated
+    leading-dim — and defers the softmax division past the AV matmul: the
+    row factor 1/sum distributes over the contraction, so scaling the
+    [*, N, dh] output is exact and N/dh x cheaper than dividing the
+    [*, N, N] probabilities. Measured on v5e (B=8 flagship shapes,
+    scripts/measure_swin_variants.py): -16% (enc0/h1) to -48% (bott/h16)
+    per-kernel vs the per-head-loop/jax.nn.softmax form; the in-kernel
+    ablation run put the per-head softmax at ~half the multi-head kernels'
+    time (docs/ROUND4.md §6b)."""
     h, dh = heads, c // heads
     scale = dh ** -0.5
 
@@ -162,23 +188,41 @@ def _attn_block_math(x, lns, lnb, wq, bq, wkv, bkv, wproj, bproj, bias,
     q2 = q2.astype(cdtype)
     kv2 = kv2.astype(cdtype)
 
-    # --- per-head attention (static Python loop; lane slices are static) ---
-    dn = (((2,), (2,)), ((0,), (0,)))  # batch window dim, contract dh
-    dn_av = (((2,), (1,)), ((0,), (0,)))  # contract key dim of [GB, N, N]
+    # --- chunk-stacked heads, late-normalized softmax ---
+    hg = _stack_chunk(h, gb)
+    dn = (((2,), (2,)), ((0,), (0,)))  # batch stacked dim, contract dh
+    dn_av = (((2,), (1,)), ((0,), (0,)))  # contract key dim of [*, N, N]
+
+    def stack(a2, off, i0):  # lane slices -> [hg*gb, n, dh]
+        parts = [a2[:, off + i * dh:off + (i + 1) * dh].reshape(gb, n, dh)
+                 for i in range(i0, i0 + hg)]
+        return parts[0] if hg == 1 else jnp.concatenate(parts, axis=0)
+
     outs = []
-    for i in range(h):
-        qh = q2[:, i * dh:(i + 1) * dh].reshape(gb, n, dh)
-        kh = kv2[:, i * dh:(i + 1) * dh].reshape(gb, n, dh)
-        vh = kv2[:, c + i * dh:c + (i + 1) * dh].reshape(gb, n, dh)
-        attn = jax.lax.dot_general(qh, kh, dimension_numbers=dn,
+    for i0 in range(0, h, hg):
+        q3 = stack(q2, 0, i0)
+        k3 = stack(kv2, 0, i0)
+        v3 = stack(kv2, c, i0)
+        attn = jax.lax.dot_general(q3, k3, dimension_numbers=dn,
                                    preferred_element_type=jnp.float32)
-        attn = attn + bias[i][None]
+        # bias [h, n, n] is per head; mask [gb, n, n] per window of the
+        # gb-major stacking. NB: leading-dim slices with a nonzero offset
+        # (bias[i0:i0+hg]) lower to an unsupported ">2D gather" in Mosaic —
+        # integer indexing into a pre-split [h//hg, hg, n, n] view does not.
+        attn4 = (attn.reshape(hg, gb, n, n)
+                 + bias.reshape(h // hg, hg, n, n)[i0 // hg][:, None])
         if mask is not None:
-            attn = attn + mask
-        attn = jax.nn.softmax(attn, axis=-1).astype(cdtype)
-        oh = jax.lax.dot_general(attn, vh, dimension_numbers=dn_av,
+            attn4 = attn4 + mask[None]
+        attn = attn4.reshape(hg * gb, n, n)
+        m = jnp.max(attn, axis=-1, keepdims=True)
+        e = jnp.exp(attn - m)
+        sinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        o3 = jax.lax.dot_general(e.astype(cdtype), v3,
+                                 dimension_numbers=dn_av,
                                  preferred_element_type=jnp.float32)
-        outs.append(oh.astype(cdtype).reshape(gb * n, dh))
+        o3 = (o3 * sinv).astype(cdtype)
+        outs.extend(o3[i * gb:(i + 1) * gb].reshape(gb * n, dh)
+                    for i in range(hg))
 
     o2 = outs[0] if h == 1 else jnp.concatenate(outs, axis=-1)  # [GB*N, C]
     out = (jnp.dot(o2, wproj.astype(cdtype),
@@ -330,43 +374,61 @@ def _attention_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
     wproj = wproj_ref[...].astype(cdtype)
     do2 = jnp.dot(g2, wproj.T, preferred_element_type=f32)  # [gb*n, C]
 
-    probs = []
+    # Heads are processed in stacked chunks, like the forward (_attn_block_
+    # math): per-head [gb, n, dh] operands concatenate along the leading
+    # axis so each chunk runs ONE dot_general per algebraic step (6 total)
+    # and one softmax instead of per-head ones. The backward holds ~5 live
+    # [hg*gb, n, n] f32 buffers (logits/e/p/dp/dlogits), so its chunk cap is
+    # half the forward's.
+    hg = _stack_chunk(h, gb, cap=32)
+
+    def stack(a2, off, i0, dtype):  # lane slices -> [hg*gb, n, dh]
+        parts = [a2[:, off + j * dh:off + (j + 1) * dh].astype(dtype)
+                 .reshape(gb, n, dh) for j in range(i0, i0 + hg)]
+        return parts[0] if hg == 1 else jnp.concatenate(parts, axis=0)
+
+    bias4 = bias_ref[...].reshape(h // hg, hg, n, n)
     o_heads = []
     dq_heads = []
     dk_heads = []
     dv_heads = []
     dbias_new = []
-    for hi in range(h):
-        qh = q2c[:, hi * dh:(hi + 1) * dh].reshape(gb, n, dh)
-        kh = kv2c[:, hi * dh:(hi + 1) * dh].reshape(gb, n, dh)
-        vh = kv2c[:, c + hi * dh:c + (hi + 1) * dh].reshape(gb, n, dh)
-        logits = jax.lax.dot_general(qh, kh, dimension_numbers=dn_qk,
+    for i0 in range(0, h, hg):
+        q3 = stack(q2c, 0, i0, cdtype)
+        k3 = stack(kv2c, 0, i0, cdtype)
+        v3 = stack(kv2c, c, i0, cdtype)
+        logits = jax.lax.dot_general(q3, k3, dimension_numbers=dn_qk,
                                      preferred_element_type=f32)
-        logits = logits + bias_ref[hi][None]
+        logits4 = logits.reshape(hg, gb, n, n) + bias4[i0 // hg][:, None]
         if has_mask:
-            logits = logits + mask_ref[...]
-        p = jax.nn.softmax(logits, axis=-1)  # f32
+            logits4 = logits4 + mask_ref[...][None]
+        logits = logits4.reshape(hg * gb, n, n)
+        # softmax via reciprocal-multiply (the division is the hot op)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - mx)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # f32
         pc = p.astype(cdtype)
-        oh = jax.lax.dot_general(pc, vh, dimension_numbers=dn_av,
+        o3 = jax.lax.dot_general(pc, v3, dimension_numbers=dn_av,
                                  preferred_element_type=f32)
-        probs.append(p)
-        o_heads.append(oh.astype(cdtype).reshape(gb * n, dh))
 
-        doh = do2[:, hi * dh:(hi + 1) * dh].astype(cdtype).reshape(gb, n, dh)
-        dp = jax.lax.dot_general(doh, vh, dimension_numbers=dn_qk,
-                                 preferred_element_type=f32)  # [gb,n,n]
-        dvh = jax.lax.dot_general(pc, doh, dimension_numbers=dn_t,
-                                  preferred_element_type=f32)  # [gb,n,dh]
+        do3 = stack(do2, 0, i0, cdtype)
+        dp = jax.lax.dot_general(do3, v3, dimension_numbers=dn_qk,
+                                 preferred_element_type=f32)
+        dv3 = jax.lax.dot_general(pc, do3, dimension_numbers=dn_t,
+                                  preferred_element_type=f32)
         dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
-        dbias_new.append(jnp.sum(dlogits, axis=0))
+        dbias_new.extend(dlogits.reshape(hg, gb, n, n).sum(axis=1))
         dlc = dlogits.astype(cdtype)
-        dqh = jax.lax.dot_general(dlc, kh, dimension_numbers=dn_av,
+        dq3 = jax.lax.dot_general(dlc, k3, dimension_numbers=dn_av,
                                   preferred_element_type=f32)
-        dkh = jax.lax.dot_general(dlc, qh, dimension_numbers=dn_t,
+        dk3 = jax.lax.dot_general(dlc, q3, dimension_numbers=dn_t,
                                   preferred_element_type=f32)
-        dq_heads.append(dqh.reshape(gb * n, dh))
-        dk_heads.append(dkh.reshape(gb * n, dh))
-        dv_heads.append(dvh.reshape(gb * n, dh))
+        for j in range(hg):
+            sl = slice(j * gb, (j + 1) * gb)
+            o_heads.append(o3[sl].astype(cdtype).reshape(gb * n, dh))
+            dq_heads.append(dq3[sl].reshape(gb * n, dh))
+            dk_heads.append(dk3[sl].reshape(gb * n, dh))
+            dv_heads.append(dv3[sl].reshape(gb * n, dh))
 
     o2 = (o_heads[0] if h == 1 else jnp.concatenate(o_heads, axis=-1))
     dq2 = ((dq_heads[0] if h == 1 else jnp.concatenate(dq_heads, axis=-1))

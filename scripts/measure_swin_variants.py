@@ -50,7 +50,8 @@ from fbanet_tpu.ops.attention_pallas import (  # noqa: E402
     _partition)
 
 
-def _core_loop(q2, kv2, bias, *, h, dh, n, c, gb, cdtype):
+def _core_loop(q2, kv2, bias, *, h, dh, n, c, gb, cdtype,
+               late_norm=False):
     dn = (((2,), (2,)), ((0,), (0,)))
     dn_av = (((2,), (1,)), ((0,), (0,)))
     outs = []
@@ -61,9 +62,22 @@ def _core_loop(q2, kv2, bias, *, h, dh, n, c, gb, cdtype):
         attn = jax.lax.dot_general(qh, kh, dimension_numbers=dn,
                                    preferred_element_type=jnp.float32)
         attn = attn + bias[i][None]
-        attn = jax.nn.softmax(attn, axis=-1).astype(cdtype)
-        oh = jax.lax.dot_general(attn, vh, dimension_numbers=dn_av,
-                                 preferred_element_type=jnp.float32)
+        if late_norm:
+            # softmax division deferred past the AV matmul: the row factor
+            # 1/sum distributes over the contraction, so dividing the
+            # [gb, n, dh] output is exact and n/dh x cheaper than dividing
+            # the [gb, n, n] probabilities
+            m = jnp.max(attn, axis=-1, keepdims=True)
+            e = jnp.exp(attn - m)
+            sinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            oh = jax.lax.dot_general(e.astype(cdtype), vh,
+                                     dimension_numbers=dn_av,
+                                     preferred_element_type=jnp.float32)
+            oh = oh * sinv
+        else:
+            attn = jax.nn.softmax(attn, axis=-1).astype(cdtype)
+            oh = jax.lax.dot_general(attn, vh, dimension_numbers=dn_av,
+                                     preferred_element_type=jnp.float32)
         outs.append(oh.astype(cdtype).reshape(gb * n, dh))
     return outs[0] if h == 1 else jnp.concatenate(outs, axis=-1)
 
@@ -83,37 +97,150 @@ def _core_fold4d(q2, kv2, bias, *, h, dh, n, c, gb, cdtype):
     return o4.astype(cdtype).transpose(0, 2, 1, 3).reshape(gb * n, c)
 
 
-def _core_stack3d(q2, kv2, bias, *, h, dh, n, c, gb, cdtype):
-    def stack(a2):  # [gb*n, C-slice] -> [h*gb, n, dh]
-        return (a2.reshape(gb, n, h, dh).transpose(2, 0, 1, 3)
-                .reshape(h * gb, n, dh))
+def _stack_chunk(h: int, gb: int, cap: int = 64) -> int:
+    """Heads per stacked dot: largest divisor of h with chunk*gb <= cap.
+    Full stacking at h=16/gb>=10 OOM'd scoped VMEM (23.5 MB > 16 MB) — the
+    lane-padded [h*gb, n, dh->128] q/k/v stacks plus the f32 logits scale
+    with chunk*gb, so bound that product like the window picker does."""
+    for cand in range(h, 0, -1):
+        if h % cand == 0 and cand * gb <= cap:
+            return cand
+    return 1
 
-    q3 = stack(q2)
-    k3 = stack(kv2[:, :c])
-    v3 = stack(kv2[:, c:])
+
+def _core_stack3d(q2, kv2, bias, *, h, dh, n, c, gb, cdtype,
+                  late_norm=False, chunk=None):
+    # Mosaic cannot shape-cast the lane dim into (h, dh) — "infer-vector-
+    # layout: unsupported shape cast" — so heads are stacked with the same
+    # per-head lane slices the production loop uses, concatenated along the
+    # LEADING axis (a supported relayout). One dot_general per chunk of
+    # `chunk` heads then replaces 2*chunk tiny dots, one softmax replaces
+    # `chunk`.
+    hg = _stack_chunk(h, gb) if chunk is None else chunk
     dn = (((2,), (2,)), ((0,), (0,)))
-    attn = jax.lax.dot_general(q3, k3, dimension_numbers=dn,
-                               preferred_element_type=jnp.float32)
-    # bias [h, n, n] broadcasts per head over the gb-major stacking
-    attn = (attn.reshape(h, gb, n, n) + bias[:, None]).reshape(h * gb, n, n)
-    attn = jax.nn.softmax(attn, axis=-1).astype(cdtype)
     dn_av = (((2,), (1,)), ((0,), (0,)))
-    o3 = jax.lax.dot_general(attn, v3, dimension_numbers=dn_av,
-                             preferred_element_type=jnp.float32)
-    o3 = o3.astype(cdtype)  # [h*gb, n, dh]
-    return (o3.reshape(h, gb, n, dh).transpose(1, 2, 0, 3)
-            .reshape(gb * n, c))
+
+    def stack(a2, off, i0):  # lane slices -> [hg*gb, n, dh]
+        parts = [a2[:, off + i * dh:off + (i + 1) * dh].reshape(gb, n, dh)
+                 for i in range(i0, i0 + hg)]
+        return parts[0] if hg == 1 else jnp.concatenate(parts, axis=0)
+
+    outs = []
+    for i0 in range(0, h, hg):
+        q3 = stack(q2, 0, i0)
+        k3 = stack(kv2, 0, i0)
+        v3 = stack(kv2, c, i0)
+        attn = jax.lax.dot_general(q3, k3, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+        # bias [h, n, n] broadcasts per head over the gb-major stacking;
+        # nonzero-offset leading slices lower to an unsupported gather, so
+        # integer-index a pre-split view instead
+        attn = (attn.reshape(hg, gb, n, n)
+                + bias.reshape(h // hg, hg, n, n)[i0 // hg][:, None]
+                ).reshape(hg * gb, n, n)
+        if late_norm:
+            m = jnp.max(attn, axis=-1, keepdims=True)
+            e = jnp.exp(attn - m)
+            sinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            o3 = jax.lax.dot_general(e.astype(cdtype), v3,
+                                     dimension_numbers=dn_av,
+                                     preferred_element_type=jnp.float32)
+            o3 = (o3 * sinv).astype(cdtype)
+        else:
+            p = jax.nn.softmax(attn, axis=-1).astype(cdtype)
+            o3 = jax.lax.dot_general(p, v3, dimension_numbers=dn_av,
+                                     preferred_element_type=jnp.float32)
+            o3 = o3.astype(cdtype)  # [hg*gb, n, dh]
+        outs.extend(o3[i * gb:(i + 1) * gb].reshape(gb * n, dh)
+                    for i in range(hg))
+    return outs[0] if h == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _core_lanepack(q2, kv2, bias_pair, *, h, dh, n, c, gb, cdtype):
+    """Adjacent heads paired along the LANE axis, late-normalized softmax.
+
+    The stack3d logits are [*, n, n] f32 with n = 64 — every elementwise op
+    on them (bias/mask add, max, exp-subtract, sum) runs on half-filled
+    128-lane vregs. Pairing heads (2m, 2m+1) makes the tiles [*, n, 2n]
+    (2n = 128, full lanes), halving the VPU work of the softmax stage that
+    the ablations put at ~half the multi-head kernels' time.
+
+    The pair's logits come from ONE dot via a block-diagonal key stack:
+    with Kb = [[k_a, 0], [0, k_b]] (2n rows, 2dh lanes),
+    [q_a | q_b] @ Kb^T = [q_a k_a^T | q_b k_b^T] exactly (the zero blocks
+    add exact f32 zeros). Same trick for AV with Vb. The paired q/k/v
+    slices are lane-CONTIGUOUS in q2/kv2 (heads 2m, 2m+1 adjacent), so
+    packing costs two lane-masked selects per operand, not a relayout; the
+    segmented max/sum use static lane slices. `bias_pair` arrives
+    pre-packed [h/2, n, 2n] (built in XLA outside the kernel, where it
+    fuses with the bias gather). Requires h even and hg even."""
+    assert h % 2 == 0
+    hg = _stack_chunk(h, gb)
+    if hg % 2:
+        hg = 2  # h even => 2 | h; lanepack VMEM/slot <= stack3d's
+    hp = hg // 2
+    dn = (((2,), (2,)), ((0,), (0,)))     # contract the 2dh lane dim
+    dn_av = (((2,), (1,)), ((0,), (0,)))  # contract e's 2n lanes w/ Vb rows
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * n), 2)
+    zero = jnp.zeros((), cdtype)
+
+    def stack_pairs(a2, off, i0):  # lane-contiguous pairs -> [hp*gb, n, 2dh]
+        parts = [a2[:, off + (i0 + 2 * p) * dh:off + (i0 + 2 * p + 2) * dh]
+                 .reshape(gb, n, 2 * dh) for p in range(hp)]
+        return parts[0] if hp == 1 else jnp.concatenate(parts, axis=0)
+
+    def blockdiag(a3):  # [P, n, 2dh] -> [[a_lo, 0], [0, a_hi]] as [P, 2n, 2dh]
+        return jnp.concatenate([jnp.where(lane_k < dh, a3, zero),
+                                jnp.where(lane_k >= dh, a3, zero)], axis=1)
+
+    outs = []
+    for i0 in range(0, h, hg):
+        qp = stack_pairs(q2, 0, i0)
+        kb = blockdiag(stack_pairs(kv2, 0, i0))
+        vb = blockdiag(stack_pairs(kv2, c, i0))
+        logits = jax.lax.dot_general(qp, kb, dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+        logits = (logits.reshape(hp, gb, n, 2 * n)
+                  + bias_pair.reshape(h // hg, hp, n, 2 * n)[i0 // hg][:, None]
+                  ).reshape(hp * gb, n, 2 * n)
+        m_a = jnp.max(logits[..., :n], axis=-1, keepdims=True)
+        m_b = jnp.max(logits[..., n:], axis=-1, keepdims=True)
+        e = jnp.exp(logits - jnp.where(lane_l < n, m_a, m_b))
+        s_a = jnp.sum(e[..., :n], axis=-1, keepdims=True)
+        s_b = jnp.sum(e[..., n:], axis=-1, keepdims=True)
+        o3 = jax.lax.dot_general(e.astype(cdtype), vb,
+                                 dimension_numbers=dn_av,
+                                 preferred_element_type=jnp.float32)
+        o3 = o3 * jnp.where(lane_k < dh, 1.0 / s_a, 1.0 / s_b)
+        o3 = o3.astype(cdtype)  # [hp*gb, n, 2dh], heads (2m, 2m+1) in lanes
+        outs.extend(o3[p * gb:(p + 1) * gb].reshape(gb * n, 2 * dh)
+                    for p in range(hp))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def pack_bias_pairs(bias: "jnp.ndarray") -> "jnp.ndarray":
+    """[h, n, n] -> [h/2, n, 2n]: row m = [bias[2m] | bias[2m+1]]."""
+    return jnp.concatenate([bias[0::2], bias[1::2]], axis=-1)
 
 
 # fold4d (two batch dims) does NOT lower on Mosaic: "tpu.matmul op Not
 # implemented: Up to 1 batch dim supported" — kept above for the record,
 # excluded from CORES.
-CORES = {"loop": _core_loop, "stack3d": _core_stack3d}
+import functools as _ft
+
+CORES = {
+    "loop": _core_loop,
+    "stack3d": _core_stack3d,
+    "loop_ln": _ft.partial(_core_loop, late_norm=True),
+    "stack3d_ln": _ft.partial(_core_stack3d, late_norm=True),
+    "lanepack": _core_lanepack,  # needs pre-packed bias + even heads
+}
 
 
 def _var_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
                 wproj_ref, bproj_ref, bias_ref, out_ref, *, heads, n, c, ws,
-                nwr, nr, core):
+                nwr, nr, core, qkv1=False):
     cdtype = CDTYPE
     h, dh = heads, c // heads
     scale = dh ** -0.5
@@ -129,14 +256,24 @@ def _var_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
     y = ((xf - mu) * mul + lnb_ref[...].astype(jnp.float32)).astype(cdtype)
 
     y2 = y.reshape(gb * n, c)
-    q2 = (jnp.dot(y2, wq_ref[...].astype(cdtype),
-                  preferred_element_type=jnp.float32)
-          + bq_ref[...].astype(jnp.float32)) * scale
-    kv2 = (jnp.dot(y2, wkv_ref[...].astype(cdtype),
-                   preferred_element_type=jnp.float32)
-           + bkv_ref[...].astype(jnp.float32))
-    q2 = q2.astype(cdtype)
-    kv2 = kv2.astype(cdtype)
+    if qkv1:
+        # single [C, 3C] matmul: q | k | v in one MXU pass
+        wqkv = jnp.concatenate([wq_ref[...], wkv_ref[...]], axis=1)
+        bqkv = jnp.concatenate([bq_ref[...], bkv_ref[...]], axis=1)
+        qkv = (jnp.dot(y2, wqkv.astype(cdtype),
+                       preferred_element_type=jnp.float32)
+               + bqkv.astype(jnp.float32))
+        q2 = (qkv[:, :c] * scale).astype(cdtype)
+        kv2 = qkv[:, c:].astype(cdtype)
+    else:
+        q2 = (jnp.dot(y2, wq_ref[...].astype(cdtype),
+                      preferred_element_type=jnp.float32)
+              + bq_ref[...].astype(jnp.float32)) * scale
+        kv2 = (jnp.dot(y2, wkv_ref[...].astype(cdtype),
+                       preferred_element_type=jnp.float32)
+               + bkv_ref[...].astype(jnp.float32))
+        q2 = q2.astype(cdtype)
+        kv2 = kv2.astype(cdtype)
 
     o2 = CORES[core](q2, kv2, bias_ref[...], h=h, dh=dh, n=n, c=c, gb=gb,
                      cdtype=cdtype)
@@ -149,7 +286,8 @@ def _var_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
     out_ref[0] = out4.reshape(nr * ws, nwr * ws, c).astype(out_ref.dtype)
 
 
-def variant_attention(c, res, heads, core: str):
+def variant_attention(c, res, heads, core: str, *, qkv1=False,
+                      nr_override=None):
     """Mask-free 2-D attention with a selectable core implementation."""
     nwr = nh = res // WS
     nr = 1
@@ -160,12 +298,19 @@ def variant_attention(c, res, heads, core: str):
         if cand * nwr <= 64 and vmem <= 6 * 2**20:
             nr = cand
             break
+    if nr_override is not None:
+        assert nh % nr_override == 0
+        nr = nr_override
 
     kernel = functools.partial(_var_kernel, heads=heads, n=N, c=c, ws=WS,
-                               nwr=nwr, nr=nr, core=core)
+                               nwr=nwr, nr=nr, core=core, qkv1=qkv1)
     full2 = lambda *_: (0, 0)  # noqa: E731
+    packed = core == "lanepack"
+    bias_shape = (heads // 2, N, 2 * N) if packed else (heads, N, N)
 
     def call(x4, lns, lnb, wq, bq, wkv, bkv, wproj, bproj, bias):
+        if packed:
+            bias = pack_bias_pairs(bias)
         in_specs = [
             pl.BlockSpec((1, nr * WS, res, c), lambda bi, ii: (bi, ii, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -177,7 +322,7 @@ def variant_attention(c, res, heads, core: str):
             pl.BlockSpec((1, 2 * c), full2, memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), full2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), full2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, N, N), lambda bi, ii: (0, 0, 0),
+            pl.BlockSpec(bias_shape, lambda bi, ii: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         return pl.pallas_call(
@@ -349,18 +494,24 @@ def check(groups) -> None:
                                       - ref.astype(jnp.float32))))
         print(f"check {name} loop vs XLA-ref: {rdiff:.3e} (bf16 rounding)",
               flush=True)
-        for core in ("stack3d",):
+        cores = ["stack3d", "loop_ln", "stack3d_ln"]
+        if heads % 2 == 0:
+            cores.append("lanepack")
+        for core in cores:
             out = variant_attention(c, res, heads, core)(x4, *rest)
             diff = float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                          - oracle.astype(jnp.float32))))
-            # different dot_general shapes reduce in different orders, so a
-            # bf16 softmax probability can round differently — allow one
-            # output-scale bf16 LSB (outputs are O(1); tighter than the
+            # different dot_general shapes reduce in different orders and
+            # late_norm moves the softmax division past the AV matmul, so a
+            # bf16 probability can round differently — allow two
+            # output-scale bf16 LSBs (outputs are O(1); at/below the
             # loop-vs-reference gap above)
-            status = "OK" if diff <= 1e-3 else f"DIFF {diff:.3e}"
-            print(f"check {name} {core:8s}: {status} ({diff:.1e})",
-                  flush=True)
-            assert diff <= 1e-3, (name, core, diff)
+            scale = float(jnp.max(jnp.abs(oracle.astype(jnp.float32))))
+            tol = max(4e-3, 2 * 2.0**-8 * scale)  # 2 bf16 LSBs at out scale
+            status = "OK" if diff <= tol else f"DIFF {diff:.3e}"
+            print(f"check {name} {core:10s}: {status} ({diff:.1e}, "
+                  f"tol {tol:.1e})", flush=True)
+            assert diff <= tol, (name, core, diff)
 
 
 def main(argv=None) -> None:
@@ -384,8 +535,15 @@ def main(argv=None) -> None:
                 window_size=WS, compute_dtype=CDTYPE)
             time_fn(f"var/{name} prod", fn_prod, args, gf)
             for core in CORES:
-                time_fn(f"var/{name} {core:8s}", variant_attention(
+                if core == "lanepack" and heads % 2:
+                    continue
+                time_fn(f"var/{name} {core:10s}", variant_attention(
                     c, res, heads, core), args, gf)
+            time_fn(f"var/{name} ln+qkv1", variant_attention(
+                c, res, heads, "stack3d_ln", qkv1=True), args, gf)
+            if res == 160 and c == 64:
+                time_fn(f"var/{name} ln+nr2", variant_attention(
+                    c, res, heads, "stack3d_ln", nr_override=2), args, gf)
 
     if mode in ("time", "time-leff"):
         from measure_swin_rates import _leff_args, leff_gflops
