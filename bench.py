@@ -184,14 +184,21 @@ def bench_loader(batch: int, frames: int, size: int) -> tuple[float, float]:
         for b in loader.epoch(0):  # decode-bound epoch (fills the cache)
             n += b["LR"].shape[0]
         cold = n / (time.time() - t0)
-        t0 = time.time()
-        n = 0
-        for epoch in range(1, 4):
+        # per-epoch rates, median-of-5: one cached epoch is only ~0.3-1 s of
+        # work, so a transient CPU stall on this 1-core host (anything else
+        # waking up) can halve a single-window measurement (observed: 18/s
+        # in one run vs 92-104/s in three others, same code)
+        rates = []
+        for epoch in range(1, 6):
+            t0 = time.time()
+            n = 0
             for b in loader.epoch(epoch):
                 n += b["LR"].shape[0]
-        dt = time.time() - t0
-    log(f"loader: {n} bursts in {dt:.2f}s steady-state; cold {cold:.2f}/s")
-    return n / dt, cold
+            rates.append(n / (time.time() - t0))
+    warm = sorted(rates)[len(rates) // 2]
+    log(f"loader: steady-state {warm:.2f}/s (median of "
+        f"{['%.1f' % r for r in rates]}); cold {cold:.2f}/s")
+    return warm, cold
 
 
 METRIC_NAME = "bursts_per_sec_per_chip_e2e_align_sr"
