@@ -231,9 +231,16 @@ def _init_device(tries: int = 2, delay_s: float = 30.0):
     return None
 
 
+_EMITTED = None  # threading.Event, set once the one JSON line is printed
+
+
 def _emit_unavailable(detail: str) -> None:
     """One parseable JSON line the driver can distinguish from a code failure
     (VERDICT r3 item 1: never die with a bare stack trace on an outage)."""
+    if _EMITTED is not None and _EMITTED.is_set():
+        return
+    if _EMITTED is not None:
+        _EMITTED.set()
     print(json.dumps({
         "metric": METRIC_NAME,
         "value": None,
@@ -241,7 +248,45 @@ def _emit_unavailable(detail: str) -> None:
         "vs_baseline": None,
         "error": "tpu_unavailable",
         "detail": detail[:300],
-    }))
+    }), flush=True)
+
+
+def _probe_device(timeout_s: float = 240.0) -> bool:
+    """Guard against the wedged-tunnel mode (r4): the relay ports accept TCP
+    and backend init succeeds, but the first compile hangs indefinitely.
+    Runs one tiny jitted op in a daemon thread; True iff it completes."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        x = jax.jit(lambda a: a * 2 + 1)(jnp.ones((8, 128), jnp.float32))
+        x.block_until_ready()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t0 = time.time()
+    t.start()
+    if not done.wait(timeout_s):
+        return False
+    log(f"device probe ok in {time.time() - t0:.1f}s")
+    return True
+
+
+def _arm_deadline(seconds: float) -> None:
+    """Hard wall-clock ceiling: if the bench is still running (tunnel wedged
+    mid-run, compile stuck), emit the structured outage line and exit so the
+    driver records a parseable artifact instead of a timeout."""
+    import threading
+
+    def fire():
+        _emit_unavailable(f"bench exceeded {seconds:.0f}s deadline: "
+                          "tunnel wedged mid-run")
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
 
 
 def main() -> None:
@@ -254,11 +299,20 @@ def main() -> None:
     train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
     skip_train = os.environ.get("BENCH_SKIP_TRAIN", "") == "1"
 
+    global _EMITTED
+    import threading
+    _EMITTED = threading.Event()
+    _arm_deadline(float(os.environ.get("BENCH_DEADLINE_S", "2700")))
+
     dev = _init_device()
     if dev is None:
         _emit_unavailable("backend init: TPU tunnel unavailable")
         return
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    if not _probe_device():
+        _emit_unavailable("device probe timed out: relay accepts TCP but "
+                          "compiles hang (wedged tunnel)")
+        return
 
     try:
         bursts_per_sec = bench_inference(batch, frames, size, embed)
@@ -290,13 +344,14 @@ def main() -> None:
 
     # measured-ECC-derived, see module docstring + BASELINE.md
     baseline_bursts_per_sec_per_gpu = 6.25
+    _EMITTED.set()
     print(json.dumps({
         "metric": METRIC_NAME,
         "value": round(bursts_per_sec, 3),
         "unit": METRIC_UNIT,
         "vs_baseline": round(bursts_per_sec / baseline_bursts_per_sec_per_gpu, 3),
         **extras,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -175,3 +175,60 @@ def test_mat5_roundtrip_numeric(tmp_path):
     np.testing.assert_array_equal(back["f32"], arrs["f32"])
     np.testing.assert_array_equal(back["f64"], arrs["f64"].reshape(1, -1))
     np.testing.assert_array_equal(back["i32"], arrs["i32"])
+
+
+# --- bench.py driver-contract hardening ---------------------------------------
+
+def test_bench_probe_device_happy_path():
+    """The wedge watchdog's probe completes on a healthy backend (CPU here)."""
+    import bench
+
+    assert bench._probe_device(timeout_s=120.0) is True
+
+
+def test_bench_probe_device_detects_hang(monkeypatch):
+    """Wedged-tunnel mode: relay accepts TCP but compiles hang forever. The
+    probe must give up after the timeout instead of hanging the driver."""
+    import time as _time
+
+    import jax as _jax
+
+    import bench
+
+    def hang(fn):
+        def inner(*a, **k):
+            _time.sleep(60.0)
+            return fn(*a, **k)
+        return inner
+
+    monkeypatch.setattr(_jax, "jit", hang)
+    assert bench._probe_device(timeout_s=0.5) is False
+
+
+def test_bench_emit_unavailable_prints_one_parseable_line(capsys):
+    """The driver contract: exactly ONE JSON line on stdout, machine-readable
+    error marker, and deduplication once the real line has been printed."""
+    import json as _json
+    import threading
+
+    import bench
+
+    bench._EMITTED = threading.Event()
+    try:
+        bench._emit_unavailable("first")
+        bench._emit_unavailable("second")  # deduped: _EMITTED already set
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1
+        rec = _json.loads(out[0])
+        assert rec["error"] == "tpu_unavailable"
+        assert rec["value"] is None and rec["vs_baseline"] is None
+        assert rec["metric"] == bench.METRIC_NAME
+        assert rec["detail"] == "first"
+
+        # once the success line is out, a late watchdog must stay silent
+        bench._EMITTED = threading.Event()
+        bench._EMITTED.set()
+        bench._emit_unavailable("late watchdog")
+        assert capsys.readouterr().out == ""
+    finally:
+        bench._EMITTED = None
