@@ -409,8 +409,14 @@ def online_register(batch: Float[JArray, "b f h w c"], method: str = "ecc"
 
     batch = jax.lax.stop_gradient(batch)
     if method == "ecc":
+        # eps termination (cv2 TermCriteria semantics) nearly halves the
+        # hot-path align cost at identical recovered-transform accuracy:
+        # 9.06 -> 5.20 ms at B8/F14/160px on v5e vs the old fixed 3x10
+        # budget, with 2.5x the per-level iteration headroom
+        # (scripts/measure_ecc_eps.py, docs/ROUND4.md §8).
         aligned, _m, _r = align_burst(batch, motion="translation",
-                                      levels=3, iters_per_level=10)
+                                      levels=3, iters_per_level=25,
+                                      eps=1e-5)
         return aligned
     if method == "flow":
         def one(burst: Array) -> Array:
