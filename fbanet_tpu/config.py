@@ -77,10 +77,14 @@ class DataConfig:
     # decode-bound and starves the chip.
     cache_decoded: bool = True
     cache_gb: float = 8.0
-    # pre-fill the decoded-frame cache before step 1 (--warm_start): moves
-    # the decode-bound cold epoch ahead of training so epoch 1 is not
-    # device-starved on few-core hosts (RealBSRDataset.warm_cache)
-    warm_start: bool = False
+    # pre-fill the decoded-frame cache before step 1: moves the decode-bound
+    # cold epoch ahead of training so epoch 1 is not device-starved on
+    # few-core hosts (RealBSRDataset.warm_cache). Default ON whenever the
+    # decoded-frame cache is on (the shipped configuration must never train
+    # against a ~8 bursts/s cold loader, docs/ROUND4.md §1); --no_warm_start
+    # opts out, and train() skips the warm pass when cache_decoded is off
+    # (nothing to fill).
+    warm_start: bool = True
     # host->device wire format: "storage" ships the PNG integers (uint8 /255,
     # RAW uint16 /16383) and normalizes on device inside the jitted step —
     # bit-identical to the f32 wire at 4x fewer transfer bytes
@@ -227,10 +231,12 @@ def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--no_cache_decoded", action="store_true", default=False,
                    help="disable the decoded-frame RAM cache")
     p.add_argument("--cache_gb", type=float, default=8.0)
-    p.add_argument("--warm_start", action="store_true", default=False,
+    p.add_argument("--warm_start", action="store_true", default=True,
                    help="pre-fill the decoded-frame cache before step 1 so "
                         "the decode-bound cold epoch does not starve the "
-                        "device")
+                        "device (default on when the cache is on)")
+    p.add_argument("--no_warm_start", action="store_true", default=False,
+                   help="skip the pre-training cache warm pass")
     p.add_argument("--wire_f32", action="store_true", default=False,
                    help="ship normalized f32 batches to the device instead "
                         "of the storage integers (4x the transfer bytes; "
@@ -273,7 +279,7 @@ def from_cli(args: argparse.Namespace) -> Config:
         channels=args.in_channels,
         cache_decoded=not args.no_cache_decoded,
         cache_gb=args.cache_gb,
-        warm_start=args.warm_start,
+        warm_start=args.warm_start and not args.no_warm_start,
         wire_dtype="float32" if args.wire_f32 else "storage",
         num_workers=args.train_workers,
         eval_workers=args.eval_workers,

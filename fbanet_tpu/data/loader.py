@@ -41,6 +41,7 @@ class BurstLoader:
         prefetch_depth: int = 2,
         drop_last: bool | None = None,
         sharding: jax.sharding.Sharding | None = None,
+        pad_last: bool = False,
         seed: int = 0,
     ) -> None:
         self.dataset = dataset
@@ -54,6 +55,13 @@ class BurstLoader:
         self.prefetch_depth = max(1, prefetch_depth)
         self.drop_last = (dataset.split == "train") if drop_last is None else drop_last
         self.sharding = sharding
+        # pad the final partial batch to the full batch size by repeating its
+        # last sample, and report the real count as batch["valid"]: keeps the
+        # jitted eval shape constant AND the batch axis divisible by the mesh
+        # when eval batches are sharded (data-parallel eval; the reference
+        # even evaluated under DataParallel, fba_net/test.py:55). Consumers
+        # slice per-image results to [:valid]; burst_name stays unpadded.
+        self.pad_last = pad_last
         self.seed = seed
 
     def __len__(self) -> int:
@@ -95,10 +103,17 @@ class BurstLoader:
                         chunk = [(start + o, i) for o, i in
                                  enumerate(indices[start:start + self.batch_size])]
                         samples = list(pool.map(load_one, chunk))
+                        valid = len(samples)
+                        if self.pad_last and valid < self.batch_size:
+                            samples = samples + [samples[-1]] * (
+                                self.batch_size - valid)
                         batch = {
                             "LR": np.stack([s["LR"] for s in samples]),
-                            "burst_name": [s["burst_name"] for s in samples],
+                            "burst_name": [s["burst_name"]
+                                           for s in samples[:valid]],
                         }
+                        if self.pad_last:
+                            batch["valid"] = valid
                         if "HR" in samples[0]:  # absent for GT-free test data
                             batch["HR"] = np.stack([s["HR"] for s in samples])
                         if self.sharding is not None:

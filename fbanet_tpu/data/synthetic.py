@@ -172,6 +172,7 @@ def write_synthetic_realbsr(
     write_hr: bool = True,
     channels: int = 3,
     noise: float = 0.01,
+    aligned: bool = True,
 ) -> Path:
     """Write a small synthetic dataset tree in the chosen filename grammar.
 
@@ -186,7 +187,8 @@ def write_synthetic_realbsr(
         for b in range(num_bursts):
             lr, hr, _ = synthetic_burst(rng, num_frames=num_frames,
                                         lr_size=lr_size, scale=scale,
-                                        channels=channels, noise=noise)
+                                        channels=channels, noise=noise,
+                                        aligned=aligned)
             scene, patch = b % 1000, b
             burst_name = f"{scene:03d}_{patch}"
             if layout == "aligned":

@@ -51,13 +51,35 @@ def evaluate(cfg: Config, *, save_images: bool = False,
 
     from fbanet_tpu.train import to_unit_f32
 
+    online_align = cfg.data.online_align
+    if online_align != "none":
+        # the same in-step registration train.py applies (train.make_eval_step)
+        # — an accepted flag must not be a silent no-op here (the reference's
+        # online DALI graph registers before the forward,
+        # fba_net/pipeline/real_bsr_iterator.py:121-166)
+        from fbanet_tpu.ops.registration import online_register
+
     @jax.jit
     def step(p, lr, hr):
         lr, hr = to_unit_f32(lr), to_unit_f32(hr)
+        if online_align != "none":
+            lr = online_register(lr, online_align)
         pred = jnp.clip(model.apply(p, lr, deterministic=True), 0.0, 1.0)
         return (pred,
                 psnr_metric(pred, hr, boundary_ignore=bi),
                 ssim_metric(pred, hr, boundary_ignore=bi), hr)
+
+    # data-parallel eval: shard each batch over the mesh (the reference even
+    # evaluated under DataParallel, fba_net/test.py:55). The last partial
+    # batch is padded to the full batch size (pad_last) so the sharded jit
+    # shape stays constant; padded results are sliced off via batch["valid"].
+    from fbanet_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    n_dev = len(jax.devices())
+    while cfg.eval.batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = make_mesh(jax.devices()[:n_dev])
+    sharding = batch_sharding(mesh) if n_dev > 1 else None
 
     ds = RealBSRDataset(cfg.data.dataroot, split="val", layout=cfg.data.layout,
                         burst_size=cfg.data.burst_size,
@@ -67,7 +89,8 @@ def evaluate(cfg: Config, *, save_images: bool = False,
                         wire_dtype=cfg.data.wire_dtype,
                         augment=False)
     loader = BurstLoader(ds, batch_size=cfg.eval.batch_size,
-                         num_workers=cfg.data.eval_workers, drop_last=False)
+                         num_workers=cfg.data.eval_workers, drop_last=False,
+                         sharding=sharding, pad_last=sharding is not None)
 
     out_dir = Path(result_dir)
     if save_images:
@@ -77,10 +100,11 @@ def evaluate(cfg: Config, *, save_images: bool = False,
     for batch in loader.epoch(0):
         pred, p, s, hr_unit = step(params, jnp.asarray(batch["LR"]),
                                    jnp.asarray(batch["HR"]))
-        psnrs.extend(np.asarray(p).tolist())
-        ssims.extend(np.atleast_1d(np.asarray(s)).tolist())
+        valid = batch.get("valid", len(batch["burst_name"]))
+        psnrs.extend(np.asarray(p)[:valid].tolist())
+        ssims.extend(np.atleast_1d(np.asarray(s))[:valid].tolist())
         if lpips_fn is not None:
-            lpipses.extend(np.asarray(lpips_fn(pred, hr_unit)).tolist())
+            lpipses.extend(np.asarray(lpips_fn(pred, hr_unit))[:valid].tolist())
         if save_images:
             from PIL import Image
 

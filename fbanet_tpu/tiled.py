@@ -156,6 +156,21 @@ def main(argv: list[str] | None = None) -> None:
         batch = to_unit_f32(batch)
         return jnp.clip(model.apply(params, batch, deterministic=True), 0.0, 1.0)
 
+    online_align = cfg.data.online_align
+    if online_align != "none":
+        # register the FULL burst to frame 0 before tiling (the reference's
+        # online DALI graph registers whole frames before any cropping,
+        # fba_net/pipeline/real_bsr_iterator.py:121-166). Per-tile alignment
+        # would instead estimate an independent transform per tile and could
+        # disagree across tile seams. One jitted call per distinct image
+        # shape; tiles then carry already-f32 aligned values (to_unit_f32
+        # passes floats through).
+        from fbanet_tpu.ops.registration import online_register
+
+        @jax.jit
+        def align_full(burst):  # [F, H, W, C] storage or f32
+            return online_register(to_unit_f32(burst)[None], online_align)[0]
+
     from fbanet_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh()
@@ -170,6 +185,8 @@ def main(argv: list[str] | None = None) -> None:
 
     for i in range(len(ds)):
         sample = ds.load(i)
+        if online_align != "none":
+            sample["LR"] = np.asarray(align_full(jnp.asarray(sample["LR"])))
         sr = tiled_forward(apply_fn, sample["LR"], psize=args.psize,
                            overlap=args.overlap, scale=cfg.data.scale,
                            mesh=mesh)

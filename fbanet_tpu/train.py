@@ -269,13 +269,16 @@ def evaluate_psnr(eval_step, params, loader: BurstLoader, epoch: int) -> float:
 
     # keep per-batch results on device and fetch once at the end: the
     # host then decodes/ships batch N+1 while the device evaluates batch N
-    # (a per-batch np.asarray sync serialized eval with the wire)
+    # (a per-batch np.asarray sync serialized eval with the wire).
+    # pad_last batches carry batch["valid"]; the padded tail entries are
+    # duplicates of the last real image and are sliced off host-side.
     vals_all, count = [], 0
     for batch in loader.epoch(epoch):
         vals = eval_step(params, batch["LR"], batch["HR"])
-        vals_all.append(vals)
-        count += vals.shape[0]
-    vals = (np.concatenate([np.asarray(v) for v in vals_all])
+        valid = batch.get("valid", vals.shape[0])
+        vals_all.append((vals, valid))
+        count += valid
+    vals = (np.concatenate([np.asarray(v)[:n] for v, n in vals_all])
             if vals_all else [])
     return finite_average(vals, count)
 
@@ -371,13 +374,19 @@ def train(cfg: Config) -> dict:
                                num_workers=cfg.data.num_workers,
                                prefetch_depth=cfg.data.prefetch_depth,
                                sharding=sharding, seed=tcfg.seed)
+    # per-epoch eval is data-parallel too (the reference even ran eval under
+    # DataParallel, fba_net/test.py:55): batches shard over the same mesh,
+    # with the final partial batch padded to the full batch size (pad_last)
+    # so the batch axis always divides the device count; evaluate_psnr
+    # slices per-image results to batch["valid"].
     val_loader = BurstLoader(val_ds, batch_size=tcfg.batch_size,
                              num_workers=cfg.data.eval_workers,
-                             drop_last=False, sharding=None, seed=tcfg.seed)
+                             drop_last=False, sharding=sharding,
+                             pad_last=True, seed=tcfg.seed)
     log(f"Sizeof training set: {len(train_ds)}, sizeof validation set: "
         f"{len(val_ds)}; {n_dev} device(s)")
 
-    if cfg.data.warm_start:
+    if cfg.data.warm_start and cfg.data.cache_decoded:
         # move the decode-bound cold epoch ahead of step 1 (the compile
         # below hides part of it on wall clock; the device-starved first
         # epoch disappears entirely)

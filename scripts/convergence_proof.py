@@ -38,6 +38,10 @@ def main(argv=None) -> None:
     p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--embed_dim", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step; --batch_size 8 "
+                        "--grad_accum 2 is the published global-batch-16 "
+                        "recipe on one chip (reference README.md:95-98)")
     p.add_argument("--noise", type=float, default=0.05,
                    help="per-frame noise sigma; higher gives the 14-frame "
                         "fusion more signal to recover (the real RealBSR "
@@ -96,6 +100,7 @@ def main(argv=None) -> None:
         "--train_ps", str(args.lr_size),
         "--embed_dim", str(args.embed_dim),
         "--batch_size", str(args.batch_size),
+        "--grad_accum", str(args.grad_accum),
         "--nepoch", str(args.epochs),
         "--warmup", "--warmup_epochs", "3",
         "--warm_start",

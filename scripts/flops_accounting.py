@@ -46,16 +46,12 @@ def swin_group(hw: int, c: int, depth: int, ws: int, mlp: float,
     return per * depth
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--size", type=int, default=160)
-    p.add_argument("--frames", type=int, default=14)
-    p.add_argument("--embed", type=int, default=64)
-    args = p.parse_args()
-
-    b, s, f, d = args.batch, args.size, args.frames, args.embed
-    ws, mlp = 8, 4.0
+def forward_flops(batch: int, size: int, frames: int, embed: int,
+                  ws: int = 8, mlp: float = 4.0) -> dict[str, float]:
+    """Closed-form per-component forward FLOPs (MACs x 2) for one batched
+    FBANet forward. Sum the values for the model total — used by bench.py's
+    machine-readable MFU fields and by `main` below."""
+    b, s, f, d = batch, size, frames, embed
 
     comps: dict[str, float] = {}
 
@@ -110,7 +106,19 @@ def main() -> None:
     comps["x4 tail (+out conv)"] = (
         conv(s, d, 4 * d, 3, b) + conv(2 * s, d, 4 * d, 3, b)
         + conv(2 * s, 4 * d, 12, 3, b))
+    return comps
 
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--size", type=int, default=160)
+    p.add_argument("--frames", type=int, default=14)
+    p.add_argument("--embed", type=int, default=64)
+    args = p.parse_args()
+
+    b, s, f, d = args.batch, args.size, args.frames, args.embed
+    comps = forward_flops(b, s, f, d)
     total = sum(comps.values())
     print(f"B={b}, {s}px, F={f}, embed {d} — forward FLOPs by component\n")
     print("| component | GFLOP | share |")
