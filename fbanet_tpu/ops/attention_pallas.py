@@ -334,7 +334,8 @@ def _pallas_forward(cfg: _AttnStatic, x, ln_scale, ln_bias, wq, bq, wkv, bkv,
 def _attention_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
                           wkv_ref, bkv_ref, wproj_ref, bias_ref, *rest,
                           heads: int, n: int, c: int, gb: int,
-                          has_mask: bool, compute_dtype: str) -> None:
+                          has_mask: bool, compute_dtype: str,
+                          hg_cap: int = 32) -> None:
     if has_mask:
         mask_ref = rest[0]
         outs_refs = rest[1:]
@@ -379,8 +380,9 @@ def _attention_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
     # axis so each chunk runs ONE dot_general per algebraic step (6 total)
     # and one softmax instead of per-head ones. The backward holds ~5 live
     # [hg*gb, n, n] f32 buffers (logits/e/p/dp/dlogits), so its chunk cap is
-    # half the forward's.
-    hg = _stack_chunk(h, gb, cap=32)
+    # half the forward's (and 16 at c=256, measured -9% — see
+    # _pallas_backward's budget table).
+    hg = _stack_chunk(h, gb, cap=hg_cap)
 
     def stack(a2, off, i0, dtype):  # lane slices -> [hg*gb, n, dh]
         parts = [a2[:, off + j * dh:off + (j + 1) * dh].astype(dtype)
@@ -478,17 +480,27 @@ def _pallas_backward(cfg: _AttnStatic, x, g, ln_scale, ln_bias, wq, bq, wkv,
     h = cfg.heads
     # the backward holds per-head probability/temporary stacks (~3-4x the
     # forward's live VMEM), so pick its own, smaller block size (measured:
-    # the forward's block at h=16/c=256 allocates 28 MB in the backward)
+    # the forward's block at h=16/c=256 allocates 28 MB in the backward).
+    # Width-dependent budgets + head-chunk caps from the r5 on-chip sweep
+    # (scripts/measure_bwd.py blocks): c=64 fits 6 MB blocks (gb 10 -> 32,
+    # -13%); c=128 fits 4 MB (gb 5 -> 10, -5%); c=256 OOMs beyond 2 MB but
+    # prefers hg<=16 head chunks (-9%) — its f32 logits stacks, not the
+    # x/g blocks, are the VMEM pressure there.
+    if c >= 256:
+        budget, hg_cap = 2 * 2**20, 16
+    elif c >= 128:
+        budget, hg_cap = 4 * 2**20, 32
+    else:
+        budget, hg_cap = 6 * 2**20, 32
     nw = cfg.windows_per_image if has_mask else gsz
     gb_limit = nw
     while gsz % gb_limit != 0:
         gb_limit -= 1
-    gb = min(cfg.block_windows,
-             pick_block_windows(gb_limit, n, c, vmem_budget=2 * 2**20))
+    gb = pick_block_windows(gb_limit, n, c, vmem_budget=budget)
 
     kernel = functools.partial(
         _attention_bwd_kernel, heads=h, n=n, c=c, gb=gb, has_mask=has_mask,
-        compute_dtype=cfg.compute_dtype)
+        hg_cap=hg_cap, compute_dtype=cfg.compute_dtype)
     full2 = lambda *_: (0, 0)  # noqa: E731
     in_specs = [
         pl.BlockSpec((gb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -69,6 +69,106 @@ def leff_reference(x: Array, ln_scale: Array, ln_bias: Array,
     return out.astype(x.dtype)
 
 
+def _xla_fwd_residuals(x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2, *,
+                       compute_dtype=jnp.float32):
+    """leff_reference's exact math, additionally returning the two
+    pre-activations (z1, z2) the backward needs.
+
+    This is the TRAINING forward for the shapes where the blocked Pallas
+    backward loses to XLA (the two largest decoder LeFFs — see the dispatch
+    comment in _fused_bwd). The old fallback ran the Pallas forward and then
+    `jax.vjp(leff_reference)` at backward time — which re-runs the entire
+    forward again inside the backward (measured: leff d128@160 backward-only
+    6.6 ms vs a 1.5 ms forward, scripts/measure_bwd.py). Saving z1/z2 (bf16,
+    the same values the reference computes) removes that duplicate forward;
+    everything else the backward needs (LN stats, gelu outputs) recomputes
+    from x/z1/z2 in cheap elementwise passes."""
+    cdtype = jnp.dtype(compute_dtype)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    mul = lax.rsqrt(var + _LN_EPS) * ln_scale.astype(jnp.float32)
+    y = ((xf - mu) * mul + ln_bias.astype(jnp.float32)).astype(cdtype)
+
+    z1 = y @ w1.astype(cdtype) + b1.astype(cdtype)
+    h1 = jax.nn.gelu(z1)
+    ch = h1.shape[-1]
+    dn = lax.conv_dimension_numbers(h1.shape, wdw.shape, ("NHWC", "HWIO",
+                                                          "NHWC"))
+    z2 = lax.conv_general_dilated(h1, wdw.astype(cdtype), (1, 1),
+                                  [(1, 1), (1, 1)], dimension_numbers=dn,
+                                  feature_group_count=ch) + bdw.astype(cdtype)
+    out = jax.nn.gelu(z2) @ w2.astype(cdtype) + b2.astype(cdtype)
+    return out.astype(x.dtype), (z1, z2)
+
+
+def _xla_bwd_from_residuals(x, g, ln_scale, ln_bias, w1, wdw, w2, z1, z2, *,
+                            compute_dtype=jnp.float32):
+    """Backward for _xla_fwd_residuals: same algebra as the Pallas backward
+    kernel, in whole-tensor XLA ops, consuming the saved pre-activations
+    instead of recomputing the forward. Matmuls accumulate in f32; LN math
+    is f32; gelu derivatives go through jax.vjp at the stored (bf16)
+    precision — matching what jax.vjp(leff_reference) computed before."""
+    cdtype = jnp.dtype(compute_dtype)
+    f32 = jnp.float32
+    b, hh, ww, c = x.shape
+    ch = z1.shape[-1]
+
+    # cheap c-wide recomputes: LN statistics and the normalized input
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    inv = lax.rsqrt(var + _LN_EPS)
+    xhat = (xf - mu) * inv
+    lns = ln_scale.astype(f32)
+    y2 = ((xhat * lns + ln_bias.astype(f32)).astype(cdtype)
+          ).reshape(b * hh * ww, c)
+    h1 = jax.nn.gelu(z1)
+    h2 = jax.nn.gelu(z2)
+
+    # dense2 backward
+    g2 = g.astype(cdtype).reshape(b * hh * ww, c)
+    dh2 = jnp.dot(g2, w2.astype(cdtype).T,
+                  preferred_element_type=f32).reshape(z2.shape)
+    dw2 = jnp.dot(h2.reshape(-1, ch).T, g2, preferred_element_type=f32)
+    db2 = jnp.sum(g2.astype(f32), axis=0)
+
+    # gelu2' + depthwise backward (XLA's own conv transposes: the input
+    # grad and the batch-group weight-grad conv both compile and run at
+    # conv-class rates — verified on-chip)
+    _, gelu_vjp2 = jax.vjp(jax.nn.gelu, z2)
+    dz2 = gelu_vjp2(dh2.astype(z2.dtype))[0]
+
+    def dwpart(h1_, wdw_):
+        dn = lax.conv_dimension_numbers(h1_.shape, wdw_.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(h1_, wdw_.astype(cdtype), (1, 1),
+                                        [(1, 1), (1, 1)],
+                                        dimension_numbers=dn,
+                                        feature_group_count=ch)
+
+    _, conv_vjp = jax.vjp(dwpart, h1, wdw)
+    dh1, dwdw = conv_vjp(dz2)
+    dbdw = jnp.sum(dz2.astype(f32), axis=(0, 1, 2))
+
+    # gelu1' + dense1 backward
+    _, gelu_vjp1 = jax.vjp(jax.nn.gelu, z1)
+    dz1 = gelu_vjp1(dh1.astype(z1.dtype))[0].reshape(-1, ch)
+    dw1 = jnp.dot(y2.T, dz1.astype(cdtype), preferred_element_type=f32)
+    db1 = jnp.sum(dz1.astype(f32), axis=0)
+    dy = jnp.dot(dz1.astype(cdtype), w1.astype(cdtype).T,
+                 preferred_element_type=f32).reshape(b, hh, ww, c)
+
+    # LayerNorm backward (f32)
+    dxh = dy * lns
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    dx = (inv * (dxh - m1 - xhat * m2)).astype(x.dtype)
+    dlns = jnp.sum(dy * xhat, axis=(0, 1, 2))
+    dlnb = jnp.sum(dy, axis=(0, 1, 2))
+    return dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2
+
+
 def _leff_kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
                  wdw_ref, bdw_ref, w2_ref, b2_ref, out_ref, *, rows: int,
                  w: int, c: int, ch: int, compute_dtype: str,
@@ -634,37 +734,52 @@ def _fused(cfg: _LeffStatic, x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2):
     return _pallas_forward(cfg, x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2)
 
 
+def _pallas_bwd_shape(cfg: _LeffStatic, x, w1) -> bool:
+    """Dispatch policy (measured on v5e, B=8 SwinGroups): full-width row
+    strips win even at 2 rows (d64@160: pallas 14.3 vs XLA 17.0 f+b/group;
+    d128@80: 5.06 vs 5.23), but when the VMEM budget forces COLUMN blocking
+    the tiny haloed blocks lose (d128@160: 49.1 vs 40.3; d256@80: 28.2 vs
+    19.9) — those shapes take the saved-residual XLA path instead; the
+    column-blocked 2-D kernel remains an explicit opt-in for tests."""
+    rows, wb = _pick_bwd_blocks(x.shape[1], x.shape[2], w1.shape[1])
+    return cfg.use_pallas_bwd and rows >= 2 and wb == x.shape[2]
+
+
 def _fused_fwd(cfg, *args):
-    return _pallas_forward(cfg, *args), args
+    x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2 = args
+    if _pallas_bwd_shape(cfg, x, w1):
+        return _pallas_forward(cfg, *args), (args, None, None)
+    # saved-residual XLA path: run the reference forward ONCE, keeping the
+    # two pre-activations; the backward then never re-runs the forward
+    # (the old vjp(leff_reference) fallback paid a full duplicate forward
+    # inside the backward — measured 6.6 ms bwd vs 1.5 ms fwd at d128@160).
+    # Under no differentiation the primal `_fused` still runs the Pallas
+    # forward kernel.
+    out, (z1, z2) = _xla_fwd_residuals(
+        *args, compute_dtype=jnp.dtype(cfg.compute_dtype))
+    if cfg.residual:
+        out = x + out
+    return out, (args, z1, z2)
 
 
 def _fused_bwd(cfg, residuals, g):
-    x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2 = residuals
-    # Dispatch policy (measured on v5e, B=8 SwinGroups, fwd+bwd ms/group):
-    # full-width row strips win even at 2 rows (d64@160: pallas 14.3 vs XLA
-    # 17.0; d128@80: 5.06 vs 5.23), but when the VMEM budget forces COLUMN
-    # blocking the tiny haloed blocks lose to the XLA vjp (d128@160: 49.1 vs
-    # 40.3; d256@80: 28.2 vs 19.9) — so the column-blocked 2-D kernel is
-    # kept only as an explicit opt-in for tests, and those shapes take the
-    # XLA path here.
-    rows, wb = _pick_bwd_blocks(x.shape[1], x.shape[2], w1.shape[1])
-    if cfg.use_pallas_bwd and rows >= 2 and wb == x.shape[2]:
+    args, z1, z2 = residuals
+    x, ln_scale, ln_bias, w1, b1, wdw, bdw, w2, b2 = args
+    if z1 is None:
         grads = _pallas_backward(cfg, x, g, ln_scale, ln_bias, w1, b1,
                                  wdw, bdw, w2)
         (dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2) = grads
-        if cfg.residual:  # y = x + f(x) -> dx gains the incoming cotangent
-            dx = dx + g.astype(dx.dtype)
-        return (dx, dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
-                dw1.astype(w1.dtype), db1.astype(b1.dtype),
-                dwdw.astype(wdw.dtype), dbdw.astype(bdw.dtype),
-                dw2.astype(w2.dtype), db2.astype(b2.dtype))
-    ref = functools.partial(leff_reference,
-                            compute_dtype=jnp.dtype(cfg.compute_dtype))
-    _, vjp = jax.vjp(lambda *a: ref(*a), *residuals)
-    grads = vjp(g)
-    if cfg.residual:
-        grads = (grads[0] + g.astype(grads[0].dtype), *grads[1:])
-    return grads
+    else:
+        (dx, dlns, dlnb, dw1, db1, dwdw, dbdw, dw2, db2) = \
+            _xla_bwd_from_residuals(
+                x, g, ln_scale, ln_bias, w1, wdw, w2, z1, z2,
+                compute_dtype=jnp.dtype(cfg.compute_dtype))
+    if cfg.residual:  # y = x + f(x) -> dx gains the incoming cotangent
+        dx = dx + g.astype(dx.dtype)
+    return (dx, dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dwdw.astype(wdw.dtype), dbdw.astype(bdw.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)

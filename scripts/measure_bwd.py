@@ -164,9 +164,14 @@ def grad_wrapper(fn, n_args: int):
     g = jax.grad(scalar, argnums=tuple(range(n_args)))
 
     def run(*args):
+        # consume EVERY element of every gradient: returning grads[i][:1]
+        # lets XLA dead-code-narrow the backward (observed: the depthwise
+        # weight-grad conv sliced to 1 output feature — an invalid conv the
+        # compiler then rejected; matmul grads can silently shrink the same
+        # way). sum(t*t) cannot be folded through the producing ops.
         grads = g(*args)
-        return jnp.concatenate([jnp.ravel(t).astype(jnp.float32)[:1]
-                                for t in grads])
+        return jnp.stack([jnp.sum(jnp.square(t.astype(jnp.float32)))
+                          for t in grads])
     return run
 
 
@@ -454,21 +459,31 @@ def main(argv=None) -> None:
             fwd = functools.partial(
                 fused_window_attention_2d, mask=None, heads=heads,
                 window_size=WS, compute_dtype=CDTYPE)
-            ms_f = time_fn(f"attn/{name} fwd", fwd, args,
-                           attn_fwd_gflops(c, res))
-            fb = grad_wrapper(fwd, 10)
-            ms_fb = time_fn(f"attn/{name} fwd+bwd", fb, args,
-                            attn_fwd_gflops(c, res) + attn_bwd_gflops(c, res))
+            try:
+                ms_f = time_fn(f"attn/{name} fwd", fwd, args,
+                               attn_fwd_gflops(c, res))
+                fb = grad_wrapper(fwd, 10)
+                ms_fb = time_fn(
+                    f"attn/{name} fwd+bwd", fb, args,
+                    attn_fwd_gflops(c, res) + attn_bwd_gflops(c, res))
+            except Exception as e:
+                print(f"attn/{name}: FAILED {e!r}"[:200], flush=True)
+                continue
             rows.append(("attn", name, c, res, ms_f, ms_fb,
                          attn_bwd_gflops(c, res)))
         for name, c, res, heads in GROUPS:
             args = _leff_args(c, res)
             fwd = functools.partial(fused_leff, compute_dtype=CDTYPE)
-            ms_f = time_fn(f"leff/{name} fwd", fwd, args,
-                           leff_fwd_gflops(c, res))
-            fb = grad_wrapper(fwd, 9)
-            ms_fb = time_fn(f"leff/{name} fwd+bwd", fb, args,
-                            leff_fwd_gflops(c, res) + leff_bwd_gflops(c, res))
+            try:
+                ms_f = time_fn(f"leff/{name} fwd", fwd, args,
+                               leff_fwd_gflops(c, res))
+                fb = grad_wrapper(fwd, 9)
+                ms_fb = time_fn(
+                    f"leff/{name} fwd+bwd", fb, args,
+                    leff_fwd_gflops(c, res) + leff_bwd_gflops(c, res))
+            except Exception as e:
+                print(f"leff/{name}: FAILED {e!r}"[:200], flush=True)
+                continue
             rows.append(("leff", name, c, res, ms_f, ms_fb,
                          leff_bwd_gflops(c, res)))
         print("\n| kernel | group | fwd ms | f+b ms | bwd ms | bwd GF | "
@@ -481,6 +496,27 @@ def main(argv=None) -> None:
             print(f"| {kind} | {name} c{c}@{res} | {ms_f:.3f} | {ms_fb:.3f} "
                   f"| {bwd:.3f} | {gf_b:.1f} | {tf:.1f} | {at59:.2f} |",
                   flush=True)
+
+    if "xlaref" in what:
+        print("\n== XLA window_attention_reference fwd / fwd+bwd (windows in)",
+              flush=True)
+        for name, c, res, heads in GROUPS:
+            a = _win_args(c, res, heads)
+            # (x, lns, lnb, wq, bq, wkv, bkv, wproj, bias) + bproj, no mask
+            x, _g, lns, lnb, wq, bq, wkv, bkv, wproj, bias = a
+            bproj = jnp.zeros((c,), jnp.float32)
+            args = (x, lns, lnb, wq, bq, wkv, bkv, wproj, bproj, bias)
+            fn = functools.partial(
+                lambda *aa: window_attention_reference(
+                    *aa, None, heads=heads, compute_dtype=CDTYPE))
+            try:
+                time_fn(f"xlaref/{name} fwd", fn, args,
+                        attn_fwd_gflops(c, res))
+                fb = grad_wrapper(fn, 10)
+                time_fn(f"xlaref/{name} fwd+bwd", fb, args,
+                        attn_fwd_gflops(c, res) + attn_bwd_gflops(c, res))
+            except Exception as e:
+                print(f"xlaref/{name}: FAILED {e!r}"[:200], flush=True)
 
     if "ablate" in what:
         print("\n== attention bwd-kernel ablations (wrong math; deltas only)",
