@@ -183,7 +183,7 @@ def _abl_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
                     wkv_ref, bkv_ref, wproj_ref, bias_ref, *outs_refs,
                     heads: int, n: int, c: int, gb: int, hg_cap: int,
                     recompute: bool, dsoftmax: bool, wgrads: bool,
-                    dxchain: bool, core: bool) -> None:
+                    dxchain: bool, core: bool, merged: bool = False) -> None:
     """Mirror of ops/attention_pallas._attention_bwd_kernel (mask-free) with
     switchable stages. With every switch True the math is identical —
     pinned by `check` against the production backward."""
@@ -245,31 +245,61 @@ def _abl_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
             q3 = stack(q2c, 0, i0, cdtype)
             k3 = stack(kv2c, 0, i0, cdtype)
             v3 = stack(kv2c, c, i0, cdtype)
-            logits = jax.lax.dot_general(q3, k3, dimension_numbers=dn_qk,
-                                         preferred_element_type=f32)
+            do3 = stack(do2, 0, i0, cdtype)
+            hgb = hg * gb
+            if merged:
+                # pairs of same-dimension-number dots fused into one dot at
+                # 2x batch: (logits, dp) share dn_qk and have no mutual
+                # dependency; after the softmax pair, (o3, dq3) share dn_av
+                # and (dv3, dk3) share dn_t with the shared [pc; dlc] lhs.
+                # Slicing the doubled outputs uses a pre-split [2, hgb, ...]
+                # view (nonzero-offset leading slices lower to unsupported
+                # gathers in Mosaic).
+                m1 = jax.lax.dot_general(
+                    jnp.concatenate([q3, do3], axis=0),
+                    jnp.concatenate([k3, v3], axis=0),
+                    dimension_numbers=dn_qk, preferred_element_type=f32)
+                m1v = m1.reshape(2, hgb, n, n)
+                logits, dp = m1v[0], m1v[1]
+            else:
+                logits = jax.lax.dot_general(q3, k3, dimension_numbers=dn_qk,
+                                             preferred_element_type=f32)
             logits4 = logits.reshape(hg, gb, n, n) + bias4[i0 // hg][:, None]
-            logits = logits4.reshape(hg * gb, n, n)
+            logits = logits4.reshape(hgb, n, n)
             mx = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - mx)
             p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             pc = p.astype(cdtype)
-            o3 = jax.lax.dot_general(pc, v3, dimension_numbers=dn_av,
-                                     preferred_element_type=f32)
-            do3 = stack(do2, 0, i0, cdtype)
-            dp = jax.lax.dot_general(do3, v3, dimension_numbers=dn_qk,
-                                     preferred_element_type=f32)
-            dv3 = jax.lax.dot_general(pc, do3, dimension_numbers=dn_t,
-                                      preferred_element_type=f32)
+            if not merged:
+                o3 = jax.lax.dot_general(pc, v3, dimension_numbers=dn_av,
+                                         preferred_element_type=f32)
+                dp = jax.lax.dot_general(do3, v3, dimension_numbers=dn_qk,
+                                         preferred_element_type=f32)
+                dv3 = jax.lax.dot_general(pc, do3, dimension_numbers=dn_t,
+                                          preferred_element_type=f32)
             if dsoftmax:
                 dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             else:  # skip the softmax-bwd VPU pass (wrong values)
                 dlogits = dp * (1.0 / n)
             dbias_new.extend(dlogits.reshape(hg, gb, n, n).sum(axis=1))
             dlc = dlogits.astype(cdtype)
-            dq3 = jax.lax.dot_general(dlc, k3, dimension_numbers=dn_av,
-                                      preferred_element_type=f32)
-            dk3 = jax.lax.dot_general(dlc, q3, dimension_numbers=dn_t,
-                                      preferred_element_type=f32)
+            if merged:
+                pdl = jnp.concatenate([pc, dlc], axis=0)
+                m2 = jax.lax.dot_general(
+                    pdl, jnp.concatenate([v3, k3], axis=0),
+                    dimension_numbers=dn_av, preferred_element_type=f32)
+                m2v = m2.reshape(2, hgb, n, dh)
+                o3, dq3 = m2v[0], m2v[1]
+                m3 = jax.lax.dot_general(
+                    pdl, jnp.concatenate([do3, q3], axis=0),
+                    dimension_numbers=dn_t, preferred_element_type=f32)
+                m3v = m3.reshape(2, hgb, n, dh)
+                dv3, dk3 = m3v[0], m3v[1]
+            else:
+                dq3 = jax.lax.dot_general(dlc, k3, dimension_numbers=dn_av,
+                                          preferred_element_type=f32)
+                dk3 = jax.lax.dot_general(dlc, q3, dimension_numbers=dn_t,
+                                          preferred_element_type=f32)
             for j in range(hg):
                 sl = slice(j * gb, (j + 1) * gb)
                 o_heads.append(o3[sl].astype(cdtype).reshape(gb * n, dh))
@@ -329,7 +359,8 @@ def _abl_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
 
 def abl_backward(c: int, res: int, heads: int, *, recompute=True,
                  dsoftmax=True, wgrads=True, dxchain=True, core=True,
-                 vmem_budget: int = 2 * 2**20, hg_cap: int = 32):
+                 merged=False, vmem_budget: int = 2 * 2**20,
+                 hg_cap: int = 32):
     """pallas_call wrapper: [G,N,C] windows in, production block picker
     (parametrized budget)."""
     nw = (res // WS) ** 2
@@ -339,7 +370,7 @@ def abl_backward(c: int, res: int, heads: int, *, recompute=True,
     kernel = functools.partial(
         _abl_bwd_kernel, heads=h, n=N, c=c, gb=gb, hg_cap=hg_cap,
         recompute=recompute, dsoftmax=dsoftmax, wgrads=wgrads,
-        dxchain=dxchain, core=core)
+        dxchain=dxchain, core=core, merged=merged)
     full2 = lambda *_: (0, 0)  # noqa: E731
     in_specs = [
         pl.BlockSpec((gb, N, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -517,6 +548,36 @@ def main(argv=None) -> None:
                         attn_fwd_gflops(c, res) + attn_bwd_gflops(c, res))
             except Exception as e:
                 print(f"xlaref/{name}: FAILED {e!r}"[:200], flush=True)
+
+    if "merged" in what:
+        print("\n== merged-dot bwd core (3 double-batch dots vs 6): exact "
+              "math, production budgets", flush=True)
+        for name, c, res, heads in GROUPS:
+            budget, cap = ((2 * 2**20, 16) if c >= 256 else
+                           (4 * 2**20, 32) if c >= 128 else (6 * 2**20, 32))
+            args = _win_args(c, res, heads)
+            gf = attn_bwd_gflops(c, res)
+            full_fn, gb = abl_backward(c, res, heads, vmem_budget=budget,
+                                       hg_cap=cap)
+            mrg_fn, _ = abl_backward(c, res, heads, merged=True,
+                                     vmem_budget=budget, hg_cap=cap)
+            try:
+                o1 = full_fn(*args)
+                o2 = mrg_fn(*args)
+                errs = []
+                for a, b in zip(o1, o2):
+                    a = np.asarray(a, np.float32)
+                    b = np.asarray(b, np.float32)
+                    errs.append(float(np.abs(a - b).max())
+                                / max(1e-6, float(np.abs(a).max())))
+                print(f"mrgbwd/{name} parity max-rel {max(errs):.2e}",
+                      flush=True)
+                time_fn(f"mrgbwd/{name} full gb{gb}",
+                        lambda *a, _f=full_fn: _f(*a)[0], args, gf)
+                time_fn(f"mrgbwd/{name} merged gb{gb}",
+                        lambda *a, _f=mrg_fn: _f(*a)[0], args, gf)
+            except Exception as e:
+                print(f"mrgbwd/{name}: FAILED {e!r}"[:200], flush=True)
 
     if "ablate" in what:
         print("\n== attention bwd-kernel ablations (wrong math; deltas only)",
