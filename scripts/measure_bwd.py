@@ -549,6 +549,104 @@ def main(argv=None) -> None:
             except Exception as e:
                 print(f"xlaref/{name}: FAILED {e!r}"[:200], flush=True)
 
+    if "leffabl" in what:
+        print("\n== saved-residual LeFF XLA backward, stages removed "
+              "(wrong math; deltas bound the cost)", flush=True)
+        def make_bwd(c, res, *, conv=True, gelu=True, wg=True, dxc=True):
+            import jax.numpy as jnp
+            from jax import lax as jlax
+
+            def bwd(x, g, lns, lnb, w1, wdw, w2, z1, z2):
+                cdtype = CDTYPE
+                f32 = jnp.float32
+                b, hh, ww, cc = x.shape
+                ch = z1.shape[-1]
+                xf = x.astype(f32)
+                mu = jnp.mean(xf, axis=-1, keepdims=True)
+                var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1,
+                                                keepdims=True) - mu * mu)
+                inv = jlax.rsqrt(var + 1e-5)
+                xhat = (xf - mu) * inv
+                lnsf = lns.astype(f32)
+                y2 = ((xhat * lnsf + lnb.astype(f32)).astype(cdtype)
+                      ).reshape(-1, cc)
+                h1 = jax.nn.gelu(z1)
+                h2 = jax.nn.gelu(z2)
+                g2 = g.astype(cdtype).reshape(-1, cc)
+                dh2 = jnp.dot(g2, w2.astype(cdtype).T,
+                              preferred_element_type=f32).reshape(z2.shape)
+                if gelu:
+                    _, v2 = jax.vjp(jax.nn.gelu, z2)
+                    dz2 = v2(dh2.astype(z2.dtype))[0]
+                else:
+                    dz2 = dh2.astype(z2.dtype) * 0.7
+                if conv:
+                    def dwpart(h1_, wdw_):
+                        dn = jlax.conv_dimension_numbers(
+                            h1_.shape, wdw_.shape, ("NHWC", "HWIO", "NHWC"))
+                        return jlax.conv_general_dilated(
+                            h1_, wdw_.astype(cdtype), (1, 1),
+                            [(1, 1), (1, 1)], dimension_numbers=dn,
+                            feature_group_count=ch)
+                    _, cv = jax.vjp(dwpart, h1, wdw)
+                    dh1, dwdw = cv(dz2)
+                else:
+                    dh1, dwdw = dz2, jnp.zeros_like(wdw)
+                if gelu:
+                    _, v1 = jax.vjp(jax.nn.gelu, z1)
+                    dz1 = v1(dh1.astype(z1.dtype))[0].reshape(-1, ch)
+                else:
+                    dz1 = (dh1.astype(z1.dtype) * 0.7).reshape(-1, ch)
+                if wg:
+                    dw1 = jnp.dot(y2.T, dz1.astype(cdtype),
+                                  preferred_element_type=f32)
+                    dw2 = jnp.dot(h2.reshape(-1, ch).T, g2,
+                                  preferred_element_type=f32)
+                else:
+                    dw1 = jnp.zeros_like(w1)
+                    dw2 = jnp.zeros_like(w2)
+                if dxc:
+                    dy = jnp.dot(dz1.astype(cdtype),
+                                 w1.astype(cdtype).T,
+                                 preferred_element_type=f32
+                                 ).reshape(b, hh, ww, cc)
+                    dxh = dy * lnsf
+                    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+                    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+                    dx = (inv * (dxh - m1 - xhat * m2)).astype(x.dtype)
+                else:
+                    dx = x
+                return (jnp.sum(jnp.square(dx.astype(f32)))
+                        + jnp.sum(jnp.square(dwdw))
+                        + jnp.sum(jnp.square(dw1)) + jnp.sum(jnp.square(dw2))
+                        ).reshape(1)
+            return bwd
+
+        for name, c, res, heads in GROUPS:
+            if name not in ("dec0", "dec1"):
+                continue
+            ch = 4 * c
+            rng2 = np.random.default_rng(3)
+            u = lambda *s: jnp.asarray(
+                rng2.standard_normal(s).astype(np.float32) * 0.1)
+            x = u(B, res, res, c).astype(CDTYPE)
+            g = u(B, res, res, c).astype(CDTYPE)
+            z1 = u(B, res, res, ch).astype(CDTYPE)
+            z2 = u(B, res, res, ch).astype(CDTYPE)
+            args = (x, g, u(c), u(c), u(c, ch), u(3, 3, 1, ch), u(ch, c),
+                    z1, z2)
+            gf = leff_bwd_gflops(c, res)
+            for vname, kw in [("full", {}), ("noconv", {"conv": False}),
+                              ("nogelu", {"gelu": False}),
+                              ("nowgrads", {"wg": False}),
+                              ("nodx", {"dxc": False})]:
+                try:
+                    time_fn(f"leffabl/{name} {vname}",
+                            make_bwd(c, res, **kw), args, gf)
+                except Exception as e:
+                    print(f"leffabl/{name} {vname}: FAILED {e!r}"[:200],
+                          flush=True)
+
     if "merged" in what:
         print("\n== merged-dot bwd core (3 double-batch dots vs 6): exact "
               "math, production budgets", flush=True)
